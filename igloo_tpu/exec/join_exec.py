@@ -1,0 +1,352 @@
+"""Join execution: wires ops/join_ops.py kernels into the runtime.
+
+Covers Inner/Left/Right/Full/Cross with correct SQL semantics —
+including the Right/Full unmatched-row emission the reference's
+HashJoinExec lacks (/root/reference/crates/engine/src/operators/hash_join.rs:189-202).
+
+Build side = right (like the reference, hash_join.rs:100), probe = left.
+Two-phase: a probe-count program, one 2-scalar host read (total matches,
+max duplication), then the gather/assembly program. INNER/LEFT joins with
+unique build keys skip expansion entirely (output = probe capacity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import SqlType
+from ..errors import NotSupportedError
+from ..sql.ast import JoinKind
+from ..plan import logical as L
+from ..table import pad_count
+from ..ops import join_ops
+from .expr import merge_dicts
+
+
+def execute_join(ex, node: L.Join, left, right):
+    from .runtime import RCol, RTable
+
+    if node.kind is JoinKind.CROSS:
+        return _cross_join(ex, node, left, right)
+
+    nl = len(left.cols)
+
+    # ---- phase A: evaluate key expressions on each side ----
+    lk_out, lprep = ex._eval_program(left, list(node.left_keys), "join_lk")
+    rk_out, rprep = ex._eval_program(right, list(node.right_keys), "join_rk")
+
+    # ---- phase B (host): unify string key code spaces ----
+    l_keys, r_keys = [], []
+    for (la, lv), (ra, rv), le, re_ in zip(lk_out, rk_out,
+                                           node.left_keys, node.right_keys):
+        if le.dtype.is_string and re_.dtype.is_string:
+            ld = lprep.out_dict(le)
+            rd = rprep.out_dict(re_)
+            ld = ld if ld is not None else np.asarray([""], dtype=object)
+            rd = rd if rd is not None else np.asarray([""], dtype=object)
+            if not (len(ld) == len(rd) and (ld == rd).all()):
+                _, lrm, rrm = merge_dicts(ld, rd)
+                lrm, rrm = jnp.asarray(lrm), jnp.asarray(rrm)
+                la = lrm[jnp.clip(la, 0, lrm.shape[0] - 1)]
+                ra = rrm[jnp.clip(ra, 0, rrm.shape[0] - 1)]
+        l_keys.append((la, lv))
+        r_keys.append((ra, rv))
+
+    exact_dtypes = [a.dtype for a, _ in l_keys]
+
+    # ---- phase C: sort build side, count matches ----
+    key_c = ("join_c", left.capacity, right.capacity,
+             tuple(str(d) for d in exact_dtypes),
+             tuple(v is not None for _, v in l_keys),
+             tuple(v is not None for _, v in r_keys),
+             left.mask is not None, right.mask is not None)
+    phase_c = ex._jit_cache.get(key_c)
+    if phase_c is None:
+        @jax.jit
+        def phase_c(l_arrs, l_valids, l_mask, r_arrs, r_valids, r_mask):
+            lkey, _ = join_ops.normalize_keys(list(l_arrs))
+            rkey, _ = join_ops.normalize_keys(list(r_arrs))
+            lj = l_mask if l_mask is not None else jnp.ones(lkey.shape, jnp.bool_)
+            for v in l_valids:
+                if v is not None:
+                    lj = lj & v
+            rj = r_mask if r_mask is not None else jnp.ones(rkey.shape, jnp.bool_)
+            for v in r_valids:
+                if v is not None:
+                    rj = rj & v
+            sk, perm_b, njb = join_ops.build_side(rkey, rj)
+            start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
+            total = jnp.sum(counts.astype(jnp.int64))
+            maxdup = jnp.max(counts)
+            return (start, counts, perm_b, njb, lj, rj, sk, lkey,
+                    jnp.stack([total, maxdup.astype(jnp.int64)]))
+        ex._jit_cache[key_c] = phase_c
+
+    (start, counts, perm_b, njb, lj, rj, sk, lkey, stats) = phase_c(
+        [a for a, _ in l_keys], [v for _, v in l_keys], left.mask,
+        [a for a, _ in r_keys], [v for _, v in r_keys], right.mask)
+    total, maxdup = (int(x) for x in jax.device_get(stats))
+
+    _, exact = join_ops.normalize_keys(
+        [jnp.zeros((1,), d) for d in exact_dtypes])
+    if not exact and node.kind is not JoinKind.INNER:
+        raise NotSupportedError(
+            "outer joins on >64-bit multi-column keys are not supported yet")
+    if node.residual is not None and node.kind is not JoinKind.INNER:
+        raise NotSupportedError(
+            "non-equi residual conditions on outer joins are not supported yet")
+
+    verify_keys = None if exact else (l_keys, r_keys)
+
+    if maxdup <= 1 and node.kind in (JoinKind.INNER, JoinKind.LEFT):
+        rt = _unique_path(ex, node, left, right, start, counts, perm_b,
+                          verify_keys)
+    else:
+        rt = _segmented_path(ex, node, left, right, start, counts, perm_b,
+                             njb, lj, rj, sk, lkey, total, verify_keys)
+
+    if node.residual is not None:
+        rt = _apply_residual(ex, rt, node.residual)
+    return rt
+
+
+# ---------------------------------------------------------------------------
+
+def _gathered_cols(cols, idx, extra_valid=None):
+    """Gather RCols by row index; AND an extra validity in."""
+    out = []
+    for c in cols:
+        arr = c.arr[idx]
+        valid = None if c.valid is None else c.valid[idx]
+        if extra_valid is not None:
+            valid = extra_valid if valid is None else (valid & extra_valid)
+        out.append((arr, valid))
+    return out
+
+
+def _null_cols(cols, n):
+    return [(jnp.zeros((n,), c.arr.dtype), jnp.zeros((n,), jnp.bool_))
+            for c in cols]
+
+
+def _verify_eq(l_keys, r_keys, probe_idx, build_idx):
+    ok = None
+    for (la, _), (ra, _) in zip(l_keys, r_keys):
+        eq = la[probe_idx] == ra[build_idx]
+        ok = eq if ok is None else (ok & eq)
+    return ok
+
+
+def _unique_path(ex, node, left, right, start, counts, perm_b, verify_keys):
+    from .runtime import RCol, RTable
+    cap = left.capacity
+    key = ("join_u", node.kind.value, cap, right.capacity,
+           _sig(left), _sig(right), verify_keys is not None)
+    fn = ex._jit_cache.get(key)
+    if fn is None:
+        kind = node.kind
+
+        @jax.jit
+        def fn(l_arrs, l_valids, l_mask, r_arrs, r_valids,
+               start, counts, perm_b, vl_arrs, vr_arrs):
+            matched = counts > 0
+            bpos = perm_b[jnp.clip(start, 0, perm_b.shape[0] - 1)]
+            if vl_arrs is not None:
+                iota = jnp.arange(cap, dtype=jnp.int32)
+                ok = None
+                for la, ra in zip(vl_arrs, vr_arrs):
+                    eq = la == ra[bpos]
+                    ok = eq if ok is None else (ok & eq)
+                matched = matched & ok
+            lm = l_mask if l_mask is not None else jnp.ones((cap,), jnp.bool_)
+            build_cols = []
+            for a, v in zip(r_arrs, r_valids):
+                arr = a[bpos]
+                valid = v[bpos] if v is not None else None
+                if kind is JoinKind.LEFT:
+                    valid = matched if valid is None else (valid & matched)
+                build_cols.append((arr, valid))
+            out_mask = lm & matched if kind is JoinKind.INNER else lm
+            left_cols = [(a, v) for a, v in zip(l_arrs, l_valids)]
+            return left_cols, build_cols, out_mask
+        ex._jit_cache[key] = fn
+
+    vl = [a for a, _ in verify_keys[0]] if verify_keys else None
+    vr = [a for a, _ in verify_keys[1]] if verify_keys else None
+    left_cols, build_cols, out_mask = fn(
+        [c.arr for c in left.cols], [c.valid for c in left.cols], left.mask,
+        [c.arr for c in right.cols], [c.valid for c in right.cols],
+        start, counts, perm_b, vl, vr)
+    cols = [
+        RCol(a, v, c.dtype, c.dictionary)
+        for (a, v), c in zip(left_cols, left.cols)
+    ] + [
+        RCol(a, v, c.dtype, c.dictionary)
+        for (a, v), c in zip(build_cols, right.cols)
+    ]
+    names = [f.name for f in node.schema]
+    return RTable(cols, names, out_mask, cap)
+
+
+def _segmented_path(ex, node, left, right, start, counts, perm_b, njb,
+                    lj, rj, sk, lkey, total, verify_keys):
+    from .runtime import RCol, RTable
+    kind = node.kind
+    inner_cap = pad_count(max(total, 1))
+    want_probe_seg = kind in (JoinKind.LEFT, JoinKind.FULL)
+    want_build_seg = kind in (JoinKind.RIGHT, JoinKind.FULL)
+    out_cap = inner_cap + (left.capacity if want_probe_seg else 0) \
+        + (right.capacity if want_build_seg else 0)
+
+    key = ("join_s", kind.value, inner_cap, left.capacity, right.capacity,
+           _sig(left), _sig(right), verify_keys is not None)
+    fn = ex._jit_cache.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(l_arrs, l_valids, l_mask, r_arrs, r_valids, r_mask,
+               start, counts, perm_b, njb, lj, rj, sk, lkey, vl_arrs, vr_arrs):
+            probe_row, build_pos, slot_valid = join_ops.expand_matches(
+                start, counts, inner_cap)
+            bpos = perm_b[jnp.clip(build_pos, 0, perm_b.shape[0] - 1)]
+            if vl_arrs is not None:
+                ok = None
+                for la, ra in zip(vl_arrs, vr_arrs):
+                    eq = la[probe_row] == ra[bpos]
+                    ok = eq if ok is None else (ok & eq)
+                slot_valid = slot_valid & ok
+
+            seg_cols = []   # per output column: list of (arr, valid) segments
+            seg_masks = [slot_valid]
+            l_all = list(zip(l_arrs, l_valids))
+            r_all = list(zip(r_arrs, r_valids))
+
+            def gather(pairs, idx):
+                return [(a[idx], None if v is None else v[idx]) for a, v in pairs]
+
+            exp_left = gather(l_all, probe_row)
+            exp_right = gather(r_all, bpos)
+            segments = [(exp_left, exp_right)]
+
+            if want_probe_seg:
+                lm = l_mask if l_mask is not None else jnp.ones(
+                    (l_arrs[0].shape[0] if l_arrs else lj.shape[0],), jnp.bool_)
+                unmatched_probe = lm & (counts == 0)
+                seg_masks.append(unmatched_probe)
+                segments.append((
+                    [(a, v) for a, v in l_all],
+                    _null_cols_pairs(r_all, lj.shape[0])))
+            if want_build_seg:
+                rm = r_mask if r_mask is not None else jnp.ones(rj.shape, jnp.bool_)
+                unmatched_j = join_ops.unmatched_build_mask(sk, njb, perm_b,
+                                                            lkey, lj)
+                unmatched_build = (rm & ~rj) | unmatched_j
+                seg_masks.append(unmatched_build)
+                segments.append((
+                    _null_cols_pairs(l_all, rj.shape[0]),
+                    [(a, v) for a, v in r_all]))
+
+            ncols_l = len(l_all)
+            ncols_r = len(r_all)
+            out_cols = []
+            for ci in range(ncols_l + ncols_r):
+                arrs, valids = [], []
+                for (seg_l, seg_r), smask in zip(segments, seg_masks):
+                    a, v = (seg_l[ci] if ci < ncols_l else seg_r[ci - ncols_l])
+                    arrs.append(a)
+                    valids.append(v)
+                arr = jnp.concatenate(arrs)
+                if any(v is not None for v in valids):
+                    valid = jnp.concatenate([
+                        v if v is not None else jnp.ones(a.shape, jnp.bool_)
+                        for v, a in zip(valids, arrs)])
+                else:
+                    valid = None
+                out_cols.append((arr, valid))
+            out_mask = jnp.concatenate(seg_masks)
+            return out_cols, out_mask
+        ex._jit_cache[key] = fn
+
+    vl = [a for a, _ in verify_keys[0]] if verify_keys else None
+    vr = [a for a, _ in verify_keys[1]] if verify_keys else None
+    out_cols, out_mask = fn(
+        [c.arr for c in left.cols], [c.valid for c in left.cols], left.mask,
+        [c.arr for c in right.cols], [c.valid for c in right.cols], right.mask,
+        start, counts, perm_b, njb, lj, rj, sk, lkey, vl, vr)
+    src = list(left.cols) + list(right.cols)
+    cols = [RCol(a, v, c.dtype, c.dictionary)
+            for (a, v), c in zip(out_cols, src)]
+    names = [f.name for f in node.schema]
+    return RTable(cols, names, out_mask, out_cap)
+
+
+def _null_cols_pairs(pairs, n):
+    return [(jnp.zeros((n,), a.dtype), jnp.zeros((n,), jnp.bool_))
+            for a, _ in pairs]
+
+
+def _cross_join(ex, node, left, right):
+    from .runtime import RCol, RTable
+    from ..ops import masks as mask_ops
+
+    def compacted(rt):
+        if rt.mask is None:
+            return rt, rt.capacity
+        perm, count = mask_ops.compact_perm(rt.mask)
+        cols = [dataclasses.replace(
+            c, arr=c.arr[perm],
+            valid=None if c.valid is None else c.valid[perm]) for c in rt.cols]
+        n = int(jax.device_get(count))
+        return RTable(cols, rt.names, None, rt.capacity), n
+
+    lc, nl_rows = compacted(left)
+    rc, nr_rows = compacted(right)
+    nl_rows = min(nl_rows, left.capacity)
+    nr_rows = min(nr_rows, right.capacity)
+    out_cap = pad_count(max(nl_rows * nr_rows, 1))
+
+    key = ("join_x", out_cap, nr_rows, _sig(left), _sig(right))
+    fn = ex._jit_cache.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(l_arrs, l_valids, r_arrs, r_valids):
+            j = jnp.arange(out_cap, dtype=jnp.int64)
+            li = jnp.clip(j // max(nr_rows, 1), 0, max(nl_rows - 1, 0)).astype(jnp.int32)
+            ri = jnp.clip(j % max(nr_rows, 1), 0, max(nr_rows - 1, 0)).astype(jnp.int32)
+            outs = []
+            for a, v in zip(l_arrs, l_valids):
+                outs.append((a[li], None if v is None else v[li]))
+            for a, v in zip(r_arrs, r_valids):
+                outs.append((a[ri], None if v is None else v[ri]))
+            mask = j < nl_rows * nr_rows
+            return outs, mask
+        ex._jit_cache[key] = fn
+
+    outs, mask = fn([c.arr for c in lc.cols], [c.valid for c in lc.cols],
+                    [c.arr for c in rc.cols], [c.valid for c in rc.cols])
+    src = list(left.cols) + list(right.cols)
+    cols = [RCol(a, v, c.dtype, c.dictionary) for (a, v), c in zip(outs, src)]
+    return RTable(cols, [f.name for f in node.schema], mask, out_cap)
+
+
+def _apply_residual(ex, rt, residual):
+    from .runtime import RTable
+
+    def body(ctx, vvs, mask):
+        pred = vvs[0]
+        keep = pred.arr.astype(jnp.bool_)
+        if pred.valid is not None:
+            keep = keep & pred.valid
+        if mask is not None:
+            keep = keep & mask
+        return keep
+
+    new_mask, _ = ex._eval_program(rt, [residual], "join_residual", body)
+    return RTable(rt.cols, rt.names, new_mask, rt.capacity)
+
+
+def _sig(rt):
+    return tuple((str(c.arr.dtype), c.valid is not None) for c in rt.cols)

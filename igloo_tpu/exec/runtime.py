@@ -1,0 +1,473 @@
+"""Plan executor: bound logical plan → device arrays → DeviceTable.
+
+Execution model (TPU-first, replaces the reference's async stream-of-
+RecordBatch runtime, /root/reference/crates/engine/src/physical_plan.rs):
+
+- Tables are whole padded columns in HBM (table.py).
+- A node's result is an `RTable`: columns + a selection mask. Filters
+  only AND into the mask (late materialization); physical row movement
+  happens at sort/join/aggregate (which permute anyway) and at egress.
+- Each operator executes as one jitted XLA program; expression chains
+  fuse inside it. Jitted programs are cached per (plan node, shapes,
+  dictionary-baked scalars) so repeated queries skip tracing.
+- Joins are two-phase: a probe-count program, one scalar host read to
+  size the output, then the gather/expand program (ops/join_ops.py).
+
+Host work is planning + dictionary prep only — never per-row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import SqlType
+from ..errors import ExecutionError, NotSupportedError
+from ..sql.ast import JoinKind
+from ..plan import logical as L
+from ..table import PAD, Column, DeviceTable, pad_count
+from ..ops import join_ops, masks
+from ..ops.aggregate import AggInput, grouped_aggregate, ungrouped_aggregate
+from ..ops.sort_ops import sort_perm
+from .expr import EvalCtx, ExprPrep, VV, and_valid, merge_dicts
+from ..plan.logical import BScalarSubquery, walk_expr
+
+
+@dataclasses.dataclass
+class RCol:
+    arr: jax.Array
+    valid: Optional[jax.Array]
+    dtype: SqlType
+    dictionary: Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class RTable:
+    cols: list[RCol]
+    names: list[str]
+    mask: Optional[jax.Array]          # None = all rows alive
+    capacity: int
+
+    def mask_or_ones(self):
+        if self.mask is None:
+            return jnp.ones((self.capacity,), jnp.bool_)
+        return self.mask
+
+
+class Executor:
+    def __init__(self, catalog, functions, metrics=None):
+        self.catalog = catalog
+        self.functions = functions
+        self.metrics = metrics
+        self._jit_cache: dict = {}
+
+    # ================= public =================
+
+    def execute(self, plan: L.LogicalPlan) -> DeviceTable:
+        rt = self.run(plan)
+        return self.finalize(rt)
+
+    def finalize(self, rt: RTable) -> DeviceTable:
+        """Compact alive rows to the front and wrap as a DeviceTable."""
+        if rt.mask is None:
+            cols, count = rt.cols, rt.capacity
+        else:
+            key = ("finalize", rt.capacity, _cols_sig(rt.cols))
+            fn = self._jit_cache.get(key)
+            if fn is None:
+                @jax.jit
+                def fn(mask, arrs, valids):
+                    perm, count = masks.compact_perm(mask)
+                    out_arrs = [a[perm] for a in arrs]
+                    out_valids = [None if v is None else v[perm] for v in valids]
+                    return out_arrs, out_valids, count
+                self._jit_cache[key] = fn
+            out_arrs, out_valids, count = fn(
+                rt.mask, [c.arr for c in rt.cols], [c.valid for c in rt.cols])
+            cols = [dataclasses.replace(c, arr=a, valid=v)
+                    for c, a, v in zip(rt.cols, out_arrs, out_valids)]
+            count = int(jax.device_get(count))
+
+        names = _unique_names(rt.names)
+        columns = {
+            n: Column(data=c.arr, dtype=c.dtype, validity=c.valid,
+                      dictionary=c.dictionary)
+            for n, c in zip(names, cols)
+        }
+        return DeviceTable(columns, min(count, rt.capacity) if rt.mask is not None
+                           else rt.capacity)
+
+    # ================= dispatch =================
+
+    def run(self, node: L.LogicalPlan) -> RTable:
+        name = type(node).__name__
+        method = getattr(self, f"_run_{name.lower()}", None)
+        if method is None:
+            raise NotSupportedError(f"no executor for {name}")
+        with jax.named_scope(f"igloo.{name}"):
+            out = method(node)
+        if self.metrics is not None:
+            self.metrics.record_operator(name, out.capacity)
+        return out
+
+    # ================= leaves =================
+
+    def _run_scan(self, node: L.Scan) -> RTable:
+        t = self.catalog.get_table(node.table)
+        cols = []
+        names = []
+        fields = node.schema
+        for f in fields:
+            c = t.columns.get(f.name)
+            if c is None:
+                raise ExecutionError(f"column {f.name!r} missing in table {node.table!r}")
+            cols.append(RCol(c.data, c.validity, c.dtype, c.dictionary))
+            names.append(f.name)
+        mask = None
+        if t.nrows < t.capacity:
+            mask = jnp.arange(t.capacity) < t.nrows
+        return RTable(cols, names, mask, t.capacity)
+
+    def _run_values(self, node: L.Values) -> RTable:
+        nrows = len(node.rows)
+        cap = pad_count(nrows)
+        cols = []
+        names = []
+        for ci, f in enumerate(node.schema):
+            vals = [r[ci] for r in node.rows]
+            npdt = np.dtype(object) if f.dtype.is_string else None
+            if f.dtype.is_string:
+                import pyarrow as pa
+                from ..table import encode_strings
+                codes, valid, d = encode_strings(pa.array(vals, type=pa.string()))
+                arr = jnp.zeros((cap,), jnp.int32).at[:nrows].set(jnp.asarray(codes))
+                v = jnp.zeros((cap,), jnp.bool_).at[:nrows].set(jnp.asarray(valid))
+                cols.append(RCol(arr, v, f.dtype, d))
+            else:
+                data = np.zeros((cap,), dtype=f.dtype.to_jax())
+                valid = np.zeros((cap,), dtype=np.bool_)
+                for i, v in enumerate(vals):
+                    if v is not None:
+                        data[i] = v
+                        valid[i] = True
+                cols.append(RCol(jnp.asarray(data), jnp.asarray(valid), f.dtype))
+            names.append(f.name)
+        mask = jnp.arange(cap) < nrows
+        return RTable(cols, names, mask, cap)
+
+    # ================= expression machinery =================
+
+    def _make_prep(self, rt: RTable, exprs) -> ExprPrep:
+        prep = ExprPrep([c.dictionary for c in rt.cols], self.functions)
+        for e in exprs:
+            for n in walk_expr(e):
+                if isinstance(n, BScalarSubquery):
+                    self._eval_scalar_subquery(n, prep)
+        for e in exprs:
+            prep.prepare(e)
+        return prep
+
+    def _eval_scalar_subquery(self, node: BScalarSubquery, prep: ExprPrep):
+        sub = self.execute(node.plan)
+        if sub.nrows > 1:
+            raise ExecutionError("scalar subquery returned more than one row")
+        col = next(iter(sub.columns.values())) if sub.columns else None
+        if sub.nrows == 0 or col is None:
+            prep.set_subquery_value(node, 0, True)
+            return
+        tbl = sub.to_arrow()
+        val = tbl.column(0)[0].as_py()
+        if val is None:
+            prep.set_subquery_value(node, 0, True)
+        elif node.dtype.is_string:
+            prep.set_subquery_value(node, 0, False,
+                                    out_dict=np.asarray([val], dtype=object))
+        else:
+            prep.set_subquery_value(node, val, False)
+
+    def _eval_program(self, rt: RTable, exprs, tag: str, body=None):
+        """Run `body(ctx, vvs, mask)` (default: return exprs' VVs) as one
+        cached jitted program. Returns (result, prep)."""
+        prep = self._make_prep(rt, exprs)
+        key = (tag, tuple(id(e) for e in exprs), _cols_sig(rt.cols),
+               rt.mask is not None, rt.capacity, _prep_sig(prep))
+        cached = self._jit_cache.get(key)
+        if cached is None:
+            cap = rt.capacity
+
+            def traced(arrs, valids, mask, aux):
+                cols = [VV(a, v) for a, v in zip(arrs, valids)]
+                ctx = EvalCtx(cols, aux, traced.prep, nrows_hint=cap)
+                vvs = [self._eval_one(e, ctx) for e in exprs]
+                if body is None:
+                    return [(v.arr, v.valid) for v in vvs]
+                return body(ctx, vvs, mask)
+
+            traced.prep = prep
+            fitted = jax.jit(traced)
+            cached = (fitted, traced, exprs)
+            self._jit_cache[key] = cached
+        fitted, traced, _ = cached
+        traced.prep = prep  # refresh aux mapping for identical baked scalars
+        aux = [jnp.asarray(a) for a in prep.aux_arrays]
+        out = fitted([c.arr for c in rt.cols], [c.valid for c in rt.cols],
+                     rt.mask, aux)
+        return out, prep
+
+    def _eval_one(self, e, ctx):
+        from .expr import eval_expr
+        return eval_expr(e, ctx)
+
+    # ================= unary operators =================
+
+    def _run_projection(self, node: L.Projection) -> RTable:
+        rt = self.run(node.input)
+        out, prep = self._eval_program(rt, list(node.exprs), "project")
+        cols = []
+        for (arr, valid), e, f in zip(out, node.exprs, node.schema):
+            d = prep.out_dict(e) if f.dtype.is_string else None
+            arr = _cast_physical(arr, f.dtype)
+            cols.append(RCol(arr, valid, f.dtype, d))
+        return RTable(cols, [f.name for f in node.schema], rt.mask, rt.capacity)
+
+    def _run_filter(self, node: L.Filter) -> RTable:
+        rt = self.run(node.input)
+
+        def body(ctx, vvs, mask):
+            pred = vvs[0]
+            keep = pred.arr.astype(jnp.bool_)
+            if pred.valid is not None:
+                keep = keep & pred.valid
+            if mask is not None:
+                keep = keep & mask
+            return keep
+
+        new_mask, _ = self._eval_program(rt, [node.predicate], "filter", body)
+        return RTable(rt.cols, rt.names, new_mask, rt.capacity)
+
+    def _run_limit(self, node: L.Limit) -> RTable:
+        rt = self.run(node.input)
+        key = ("limit", node.limit, node.offset, rt.capacity,
+               rt.mask is not None)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            lim, off, cap = node.limit, node.offset, rt.capacity
+
+            @jax.jit
+            def fn(mask):
+                m = mask if mask is not None else jnp.ones((cap,), jnp.bool_)
+                return masks.first_k_mask(m, lim, off)
+            self._jit_cache[key] = fn
+        return RTable(rt.cols, rt.names, fn(rt.mask), rt.capacity)
+
+    def _run_sort(self, node: L.Sort) -> RTable:
+        rt = self.run(node.input)
+        keys = node.keys
+
+        def body(ctx, vvs, mask):
+            key_specs = [
+                (v.arr, v.valid, k.ascending, k.nulls_first)
+                for v, k in zip(vvs, keys)
+            ]
+            perm = sort_perm(key_specs, mask)
+            out_arrs = [c.arr[perm] for c in rt.cols]
+            out_valids = [None if c.valid is None else c.valid[perm]
+                          for c in rt.cols]
+            alive = (jnp.sum(mask.astype(jnp.int32)) if mask is not None
+                     else rt.capacity)
+            new_mask = jnp.arange(rt.capacity) < alive
+            return out_arrs, out_valids, new_mask
+
+        (out_arrs, out_valids, new_mask), _ = self._eval_program(
+            rt, [k.expr for k in keys], "sort", body)
+        cols = [dataclasses.replace(c, arr=a, valid=v)
+                for c, a, v in zip(rt.cols, out_arrs, out_valids)]
+        return RTable(cols, rt.names, new_mask, rt.capacity)
+
+    def _run_distinct(self, node: L.Distinct) -> RTable:
+        rt = self.run(node.input)
+        group_exprs = [
+            L.BColumn(c.dtype, c.valid is not None, i, rt.names[i])
+            for i, c in enumerate(rt.cols)
+        ]
+        return self._aggregate_impl(rt, group_exprs, [], rt.names,
+                                    [c.dtype for c in rt.cols],
+                                    [c.dictionary for c in rt.cols])
+
+    def _run_aggregate(self, node: L.Aggregate) -> RTable:
+        rt = self.run(node.input)
+        group_exprs = list(node.group_exprs)
+        agg_specs = list(node.aggs)
+
+        if not group_exprs:
+            # ungrouped → single row
+            arg_exprs = [a.arg for a in agg_specs if a.arg is not None]
+
+            def body(ctx, vvs, mask):
+                it = iter(vvs)
+                inputs = []
+                for a in agg_specs:
+                    if a.arg is None:
+                        inputs.append(AggInput(a.func, None, None, a.distinct))
+                    else:
+                        v = next(it)
+                        inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct))
+                return ungrouped_aggregate(inputs, mask, PAD)
+
+            out, _ = self._eval_program(rt, arg_exprs, "agg0", body)
+            cols = []
+            for (arr, valid), spec in zip(out, agg_specs):
+                arr = _cast_physical(arr, spec.out_dtype)
+                cols.append(RCol(arr, valid, spec.out_dtype, None))
+            mask = jnp.arange(PAD) < 1
+            return RTable(cols, [s.out_name for s in agg_specs], mask, PAD)
+
+        # grouped
+        prep_exprs = group_exprs + [a.arg for a in agg_specs if a.arg is not None]
+
+        def body(ctx, vvs, mask):
+            gvv = vvs[:len(group_exprs)]
+            it = iter(vvs[len(group_exprs):])
+            inputs = []
+            for a in agg_specs:
+                if a.arg is None:
+                    inputs.append(AggInput(a.func, None, None, a.distinct))
+                else:
+                    v = next(it)
+                    inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct))
+            keys = [(v.arr, v.valid) for v in gvv]
+            out_keys, out_aggs, ngroups = grouped_aggregate(keys, inputs, mask)
+            new_mask = jnp.arange(rt.capacity) < ngroups
+            return out_keys, out_aggs, new_mask
+
+        (out_keys, out_aggs, new_mask), prep = self._eval_program(
+            rt, prep_exprs, "agg", body)
+
+        cols = []
+        names = []
+        for (arr, valid), ge, f in zip(out_keys, group_exprs,
+                                       node.schema[:len(group_exprs)]):
+            d = prep.out_dict(ge) if f.dtype.is_string else None
+            cols.append(RCol(_cast_physical(arr, f.dtype), valid, f.dtype, d))
+            names.append(f.name)
+        for (arr, valid), spec in zip(out_aggs, agg_specs):
+            cols.append(RCol(_cast_physical(arr, spec.out_dtype), valid,
+                             spec.out_dtype, None))
+            names.append(spec.out_name)
+        return RTable(cols, names, new_mask, rt.capacity)
+
+    def _aggregate_impl(self, rt, group_exprs, agg_specs, names, dtypes, dicts):
+        """Distinct via grouping on all columns."""
+        def body(ctx, vvs, mask):
+            keys = [(v.arr, v.valid) for v in vvs]
+            out_keys, _, ngroups = grouped_aggregate(keys, [], mask)
+            new_mask = jnp.arange(rt.capacity) < ngroups
+            return out_keys, new_mask
+
+        (out_keys, new_mask), _ = self._eval_program(
+            rt, group_exprs, "distinct", body)
+        cols = [
+            RCol(_cast_physical(arr, dt), valid, dt, d)
+            for (arr, valid), dt, d in zip(out_keys, dtypes, dicts)
+        ]
+        return RTable(cols, list(names), new_mask, rt.capacity)
+
+    # ================= union =================
+
+    def _run_union(self, node: L.Union) -> RTable:
+        parts = [self.run(c) for c in node.inputs]
+        ncols = len(node.schema)
+        out_cols: list[RCol] = []
+        total_cap = sum(p.capacity for p in parts)
+        for ci, f in enumerate(node.schema):
+            arrs, valids = [], []
+            if f.dtype.is_string:
+                dicts = [p.cols[ci].dictionary if p.cols[ci].dictionary is not None
+                         else np.asarray([""], dtype=object) for p in parts]
+                merged = dicts[0]
+                remaps = [np.arange(len(dicts[0]), dtype=np.int32)]
+                for d in dicts[1:]:
+                    merged, r_old, r_new = merge_dicts(merged, d)
+                    remaps = [r_old[r] for r in remaps]
+                    remaps.append(r_new)
+                for p, remap in zip(parts, remaps):
+                    c = p.cols[ci]
+                    rm = jnp.asarray(remap)
+                    arrs.append(rm[jnp.clip(c.arr, 0, rm.shape[0] - 1)])
+                    valids.append(c.valid)
+                dictionary = merged
+            else:
+                for p in parts:
+                    c = p.cols[ci]
+                    arrs.append(c.arr.astype(f.dtype.to_jax()))
+                    valids.append(c.valid)
+                dictionary = None
+            arr = jnp.concatenate(arrs)
+            if any(v is not None for v in valids):
+                valid = jnp.concatenate([
+                    v if v is not None else jnp.ones((p.capacity,), jnp.bool_)
+                    for v, p in zip(valids, parts)])
+            else:
+                valid = None
+            out_cols.append(RCol(arr, valid, f.dtype, dictionary))
+        mask = jnp.concatenate([p.mask_or_ones() for p in parts])
+        return RTable(out_cols, [f.name for f in node.schema], mask, total_cap)
+
+    # ================= join =================
+
+    def _run_join(self, node: L.Join) -> RTable:
+        from .join_exec import execute_join
+        left = self.run(node.left)
+        right = self.run(node.right)
+        return execute_join(self, node, left, right)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _cast_physical(arr, dtype: SqlType):
+    want = dtype.to_jax()
+    if arr.dtype != np.dtype(want) and arr.dtype != want:
+        return arr.astype(want)
+    return arr
+
+
+def _cols_sig(cols: list[RCol]):
+    return tuple((str(c.arr.dtype), c.arr.shape, c.valid is not None)
+                 for c in cols)
+
+
+def _prep_sig(prep: ExprPrep):
+    items = []
+    for nid, info in sorted(prep.node_aux.items()):
+        for k, v in sorted(info.items(), key=lambda kv: str(kv[0])):
+            if isinstance(v, (int, bool, str, float, type(None))):
+                items.append((k, v))
+            elif isinstance(v, list):
+                items.append((k, tuple(v)))
+    shapes = tuple(a.shape + (str(a.dtype),) for a in prep.aux_arrays)
+    return (tuple(items), shapes)
+
+
+def _unique_names(names: list[str]) -> list[str]:
+    """Reference convention: duplicate right-side column names get a
+    `right_` prefix (/root/reference/crates/engine/src/operators/hash_join.rs:53-64)."""
+    seen: dict[str, int] = {}
+    out = []
+    for n in names:
+        if n not in seen:
+            seen[n] = 0
+            out.append(n)
+        else:
+            cand = f"right_{n}"
+            while cand in seen:
+                seen[n] += 1
+                cand = f"right_{n}_{seen[n]}"
+            seen[cand] = 0
+            out.append(cand)
+    return out

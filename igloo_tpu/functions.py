@@ -1,0 +1,255 @@
+"""Scalar function + UDF registry.
+
+The reference registers one example UDF, `capitalize(Utf8)→Utf8`
+(uppercases, null-preserving — /root/reference/crates/engine/src/lib.rs:71-144),
+at engine construction. Here the registry is first-class:
+
+- "numeric" functions run on device as fused jnp ops;
+- "string" functions run as host dictionary transforms (see
+  plan/logical.py BStringFunc) costing one device gather per row.
+
+Users register UDFs with `QueryEngine.register_udf`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from .dtypes import SqlType, common_type
+from .errors import BindError
+
+
+@dataclasses.dataclass(frozen=True)
+class ScalarFunction:
+    name: str
+    kind: str                        # 'numeric' | 'string' | 'string_to_scalar'
+    ret_type: Callable               # (arg_types) -> SqlType
+    device_fn: Optional[Callable] = None   # numeric: (args, ctx) -> array
+    host_fn: Optional[Callable] = None     # string: python str -> str | scalar
+    min_args: int = 1
+    max_args: int = 1
+    null_propagates: bool = True
+
+
+def _num(t: SqlType, name: str) -> None:
+    if not t.is_numeric:
+        raise BindError(f"{name}() expects a numeric argument, got {t.name}")
+
+
+def _float_ret(args):
+    return SqlType.FLOAT64
+
+
+def _same_ret(args):
+    return args[0]
+
+
+def _registry_builtin() -> dict[str, ScalarFunction]:
+    reg: dict[str, ScalarFunction] = {}
+
+    def add(f: ScalarFunction):
+        reg[f.name] = f
+
+    # ---- numeric, device-evaluated ----
+    def unary_math(name, fn, ret=_float_ret):
+        add(ScalarFunction(
+            name, "numeric",
+            ret_type=lambda a, n=name, r=ret: (_num(a[0], n), r(a))[1],
+            device_fn=lambda args: fn(args[0]),
+        ))
+
+    unary_math("sqrt", jnp.sqrt)
+    unary_math("exp", jnp.exp)
+    unary_math("ln", jnp.log)
+    unary_math("log", jnp.log)
+    unary_math("log10", lambda x: jnp.log10(x))
+    unary_math("log2", lambda x: jnp.log2(x))
+    unary_math("sin", jnp.sin)
+    unary_math("cos", jnp.cos)
+    unary_math("tan", jnp.tan)
+    unary_math("asin", jnp.arcsin)
+    unary_math("acos", jnp.arccos)
+    unary_math("atan", jnp.arctan)
+    unary_math("abs", jnp.abs, ret=_same_ret)
+    unary_math("sign", jnp.sign, ret=_same_ret)
+    unary_math("floor", jnp.floor)
+    unary_math("ceil", jnp.ceil)
+
+    add(ScalarFunction(
+        "round", "numeric",
+        ret_type=lambda a: (_num(a[0], "round"), SqlType.FLOAT64)[1],
+        device_fn=lambda args: (
+            jnp.round(args[0]) if len(args) == 1
+            else jnp.round(args[0] * 10.0 ** args[1]) / 10.0 ** args[1]),
+        min_args=1, max_args=2,
+    ))
+    add(ScalarFunction(
+        "power", "numeric",
+        ret_type=lambda a: (_num(a[0], "power"), SqlType.FLOAT64)[1],
+        device_fn=lambda args: jnp.power(args[0].astype(jnp.float64), args[1]),
+        min_args=2, max_args=2,
+    ))
+    reg["pow"] = dataclasses.replace(reg["power"], name="pow")
+    add(ScalarFunction(
+        "mod", "numeric",
+        ret_type=lambda a: common_type(a[0], a[1]),
+        device_fn=lambda args: _sql_mod(args[0], args[1]),
+        min_args=2, max_args=2,
+    ))
+    add(ScalarFunction(
+        "greatest", "numeric",
+        ret_type=lambda a: _common_all(a),
+        device_fn=lambda args: _reduce(jnp.maximum, args),
+        min_args=2, max_args=99,
+    ))
+    add(ScalarFunction(
+        "least", "numeric",
+        ret_type=lambda a: _common_all(a),
+        device_fn=lambda args: _reduce(jnp.minimum, args),
+        min_args=2, max_args=99,
+    ))
+    add(ScalarFunction(
+        "pi", "numeric", ret_type=lambda a: SqlType.FLOAT64,
+        device_fn=lambda args: jnp.float64(math.pi), min_args=0, max_args=0,
+    ))
+
+    # ---- string → string (dictionary transforms) ----
+    def str_fn(name, host):
+        add(ScalarFunction(
+            name, "string",
+            ret_type=lambda a, n=name: _expect_str(a[0], n, SqlType.STRING),
+            host_fn=host,
+        ))
+
+    str_fn("upper", lambda s: s.upper())
+    str_fn("lower", lambda s: s.lower())
+    # The reference's example UDF: full uppercase, null-preserving
+    # (/root/reference/crates/engine/src/lib.rs:80-87).
+    str_fn("capitalize", lambda s: s.upper())
+    str_fn("trim", lambda s: s.strip())
+    str_fn("ltrim", lambda s: s.lstrip())
+    str_fn("rtrim", lambda s: s.rstrip())
+    str_fn("reverse", lambda s: s[::-1])
+    str_fn("initcap", lambda s: s.title())
+
+    add(ScalarFunction(
+        "substr", "string",
+        ret_type=lambda a: _expect_str(a[0], "substr", SqlType.STRING),
+        host_fn=_substr, min_args=2, max_args=3,
+    ))
+    reg["substring"] = dataclasses.replace(reg["substr"], name="substring")
+    add(ScalarFunction(
+        "replace", "string",
+        ret_type=lambda a: _expect_str(a[0], "replace", SqlType.STRING),
+        host_fn=lambda s, old, new: s.replace(old, new),
+        min_args=3, max_args=3,
+    ))
+    add(ScalarFunction(
+        "lpad", "string",
+        ret_type=lambda a: _expect_str(a[0], "lpad", SqlType.STRING),
+        host_fn=lambda s, n, fill=" ": s.rjust(int(n), fill[:1] or " "),
+        min_args=2, max_args=3,
+    ))
+    add(ScalarFunction(
+        "rpad", "string",
+        ret_type=lambda a: _expect_str(a[0], "rpad", SqlType.STRING),
+        host_fn=lambda s, n, fill=" ": s.ljust(int(n), fill[:1] or " "),
+        min_args=2, max_args=3,
+    ))
+
+    # ---- string → scalar ----
+    add(ScalarFunction(
+        "length", "string_to_scalar",
+        ret_type=lambda a: _expect_str(a[0], "length", SqlType.INT64),
+        host_fn=lambda s: len(s),
+    ))
+    reg["char_length"] = dataclasses.replace(reg["length"], name="char_length")
+    reg["character_length"] = dataclasses.replace(reg["length"], name="character_length")
+    add(ScalarFunction(
+        "starts_with", "string_to_scalar",
+        ret_type=lambda a: _expect_str(a[0], "starts_with", SqlType.BOOL),
+        host_fn=lambda s, p: s.startswith(p), min_args=2, max_args=2,
+    ))
+    add(ScalarFunction(
+        "ends_with", "string_to_scalar",
+        ret_type=lambda a: _expect_str(a[0], "ends_with", SqlType.BOOL),
+        host_fn=lambda s, p: s.endswith(p), min_args=2, max_args=2,
+    ))
+    return reg
+
+
+def _common_all(types):
+    t = types[0]
+    for u in types[1:]:
+        t = common_type(t, u)
+    return t
+
+
+def _reduce(op, args):
+    out = args[0]
+    for a in args[1:]:
+        out = op(out, a)
+    return out
+
+
+def _sql_mod(a, b):
+    safe = jnp.where(b == 0, 1, b)
+    return jnp.where(b == 0, 0, a - (a // safe).astype(a.dtype) * safe)
+
+
+def _substr(s: str, start, length=None):
+    start = int(start)
+    # SQL substr is 1-based; start<=0 shifts the window like Postgres
+    begin = max(start - 1, 0)
+    if length is None:
+        return s[begin:]
+    end = max(start - 1 + int(length), begin)
+    return s[begin:end]
+
+
+def _expect_str(t: SqlType, name: str, ret: SqlType) -> SqlType:
+    if not t.is_string:
+        raise BindError(f"{name}() expects a string argument, got {t.name}")
+    return ret
+
+
+class FunctionRegistry:
+    def __init__(self):
+        self._fns = _registry_builtin()
+
+    def get(self, name: str) -> ScalarFunction | None:
+        return self._fns.get(name)
+
+    def register_udf(self, name: str, fn: Callable, *,
+                     kind: str = "string",
+                     ret_type: SqlType | None = None) -> None:
+        """Register a user-defined scalar function.
+
+        kind='string': host callable str→str applied via dictionary transform.
+        kind='string_to_scalar': host callable str→int/float/bool.
+        kind='numeric': jax-traceable callable over arrays.
+        """
+        name = name.lower()
+        if kind == "numeric":
+            rt = ret_type or SqlType.FLOAT64
+            self._fns[name] = ScalarFunction(
+                name, "numeric", ret_type=lambda a, r=rt: r,
+                device_fn=lambda args, f=fn: f(*args),
+                min_args=0, max_args=99)
+        elif kind == "string":
+            self._fns[name] = ScalarFunction(
+                name, "string",
+                ret_type=lambda a, n=name: _expect_str(a[0], n, SqlType.STRING),
+                host_fn=fn, min_args=1, max_args=99)
+        elif kind == "string_to_scalar":
+            rt = ret_type or SqlType.INT64
+            self._fns[name] = ScalarFunction(
+                name, "string_to_scalar",
+                ret_type=lambda a, n=name, r=rt: _expect_str(a[0], n, r),
+                host_fn=fn, min_args=1, max_args=99)
+        else:
+            raise ValueError(f"unknown UDF kind {kind!r}")

@@ -1,0 +1,39 @@
+"""Selection-mask algebra and compaction.
+
+The reference's FilterExec materializes a new RecordBatch per batch via
+Arrow's `filter_record_batch` (/root/reference/crates/engine/src/operators/filter.rs:57).
+On a static-shape compiler that per-row materialization is poison, so
+filters here only AND into a selection mask (late materialization); rows
+are physically compacted once, at pipeline breakers or egress.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def compact_perm(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Permutation that brings mask=True rows to the front, stably.
+
+    Returns (perm, count). Rows past `count` in the permuted order are
+    garbage and must stay masked.
+    """
+    # stable argsort of ~mask: False(=0, i.e. selected) sorts first
+    perm = jnp.argsort((~mask).astype(jnp.int32), stable=True)
+    count = jnp.sum(mask.astype(jnp.int32))
+    return perm, count
+
+
+def gather_rows(arrs: list[jax.Array], perm: jax.Array) -> list[jax.Array]:
+    return [a[perm] for a in arrs]
+
+
+def first_k_mask(mask: jax.Array, k, offset=0) -> jax.Array:
+    """LIMIT/OFFSET over a selection mask without materializing rows:
+    keep set bits with ordinal in [offset, offset+k)."""
+    ordinal = jnp.cumsum(mask.astype(jnp.int64)) - 1
+    keep = mask & (ordinal >= offset)
+    if k is not None:
+        keep = keep & (ordinal < offset + k)
+    return keep

@@ -1,0 +1,770 @@
+"""Name resolution + type checking: SQL AST → bound logical plan.
+
+Replaces DataFusion's SQL planner (the front half of the reference's
+working path, /root/reference/crates/engine/src/lib.rs:54-57) with a
+native binder. Produces the LogicalPlan/BExpr trees in plan/logical.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from ..dtypes import SqlType, common_type
+from ..errors import BindError, NotSupportedError
+from ..functions import FunctionRegistry
+from ..sql import ast
+from .logical import (
+    AGG_FUNCS, AggSpec, BBinary, BCase, BCast, BColumn, BExpr, BInList,
+    BIsDistinctFrom, BIsNull, BLike, BLiteral, BScalarFunc, BScalarSubquery,
+    BStringFunc, BUnary, Distinct, Field, Filter, Join, Limit, LogicalPlan,
+    Projection, Scan, Sort, SortKey, Union, Values, walk_expr,
+)
+
+_TYPE_NAMES = {
+    "bigint": SqlType.INT64, "int8": SqlType.INT64, "long": SqlType.INT64,
+    "int": SqlType.INT32, "integer": SqlType.INT32, "int4": SqlType.INT32,
+    "smallint": SqlType.INT32, "tinyint": SqlType.INT32,
+    "double": SqlType.FLOAT64, "double precision": SqlType.FLOAT64,
+    "float8": SqlType.FLOAT64, "real": SqlType.FLOAT32, "float4": SqlType.FLOAT32,
+    "float": SqlType.FLOAT64, "decimal": SqlType.FLOAT64, "numeric": SqlType.FLOAT64,
+    "boolean": SqlType.BOOL, "bool": SqlType.BOOL,
+    "varchar": SqlType.STRING, "text": SqlType.STRING, "string": SqlType.STRING,
+    "char": SqlType.STRING, "date": SqlType.DATE32, "timestamp": SqlType.TIMESTAMP,
+}
+
+_CMP_OPS = (ast.BinOp.EQ, ast.BinOp.NEQ, ast.BinOp.LT, ast.BinOp.LTE,
+            ast.BinOp.GT, ast.BinOp.GTE)
+_ARITH_OPS = (ast.BinOp.ADD, ast.BinOp.SUB, ast.BinOp.MUL, ast.BinOp.DIV,
+              ast.BinOp.MOD)
+_LOGIC_OPS = (ast.BinOp.AND, ast.BinOp.OR)
+
+
+class Scope:
+    """Resolution environment: an ordered list of qualified fields."""
+
+    def __init__(self, fields: list[Field]):
+        self.fields = list(fields)
+
+    def resolve(self, name: str, table: Optional[str]) -> int:
+        hits = [
+            i for i, f in enumerate(self.fields)
+            if f.name == name and (table is None or f.table == table)
+        ]
+        if not hits:
+            where = f"{table}.{name}" if table else name
+            known = ", ".join(
+                (f"{f.table}.{f.name}" if f.table else f.name) for f in self.fields)
+            raise BindError(f"column {where!r} not found (available: {known})")
+        if len(hits) > 1 and table is None:
+            raise BindError(f"column {name!r} is ambiguous; qualify it")
+        return hits[0]
+
+    def schema(self) -> tuple:
+        return tuple(self.fields)
+
+
+def _infer_literal(value) -> tuple[SqlType, bool]:
+    if value is None:
+        return SqlType.NULL, True
+    if isinstance(value, bool):
+        return SqlType.BOOL, False
+    if isinstance(value, int):
+        return SqlType.INT64, False
+    if isinstance(value, float):
+        return SqlType.FLOAT64, False
+    if isinstance(value, str):
+        return SqlType.STRING, False
+    raise BindError(f"unsupported literal {value!r}")
+
+
+class Binder:
+    def __init__(self, catalog, functions: FunctionRegistry):
+        self.catalog = catalog          # .table_schema(name) -> tuple[Field,...]
+        self.functions = functions
+        self.ctes: dict[str, LogicalPlan] = {}
+
+    # ================= statements =================
+
+    def bind(self, node) -> LogicalPlan:
+        if isinstance(node, ast.Select):
+            return self.bind_select(node)
+        if isinstance(node, ast.SetOp):
+            return self.bind_setop(node)
+        raise NotSupportedError(f"cannot bind {type(node).__name__}")
+
+    def bind_setop(self, node: ast.SetOp) -> LogicalPlan:
+        saved = dict(self.ctes)
+        try:
+            for name, sub in node.ctes:
+                self.ctes[name.lower()] = self.bind(sub)
+            left = self.bind(node.left)
+            right = self.bind(node.right)
+        finally:
+            self.ctes = saved
+        if len(left.schema) != len(right.schema):
+            raise BindError("UNION inputs must have the same number of columns")
+        fields = []
+        for lf, rf in zip(left.schema, right.schema):
+            dt = common_type(lf.dtype, rf.dtype)
+            fields.append(Field(lf.name, dt, lf.nullable or rf.nullable))
+        schema = tuple(fields)
+        if node.kind in (ast.SetOpKind.UNION, ast.SetOpKind.UNION_ALL):
+            plan: LogicalPlan = Union((left, right), schema, all=True)
+            if node.kind is ast.SetOpKind.UNION:
+                plan = Distinct(plan)
+        else:
+            raise NotSupportedError(f"{node.kind.value} not supported yet")
+        if node.order_by:
+            scope = Scope(list(schema))
+            keys = tuple(self._bind_order_item(o, scope, None) for o in node.order_by)
+            plan = Sort(plan, keys)
+        if node.limit is not None or node.offset is not None:
+            plan = Limit(plan, node.limit, node.offset or 0)
+        return plan
+
+    # ================= SELECT =================
+
+    def bind_select(self, sel: ast.Select) -> LogicalPlan:
+        saved = dict(self.ctes)
+        try:
+            for name, sub in sel.ctes:
+                self.ctes[name.lower()] = self.bind(sub)
+            return self._bind_select_body(sel)
+        finally:
+            self.ctes = saved
+
+    def _bind_select_body(self, sel: ast.Select) -> LogicalPlan:
+        # ---- FROM ----
+        if sel.from_ is None:
+            plan: LogicalPlan = Values(schema=(), rows=((),))
+            scope = Scope([])
+        else:
+            plan, scope = self.bind_relation(sel.from_)
+
+        # ---- WHERE ----
+        if sel.where is not None:
+            pred = self.bind_expr(sel.where, scope)
+            if pred.dtype not in (SqlType.BOOL, SqlType.NULL):
+                raise BindError("WHERE predicate must be boolean")
+            plan = Filter(plan, pred)
+
+        # ---- expand stars, collect select items ----
+        items: list[tuple[ast.Expr, str]] = []
+        for it in sel.items:
+            e = it.expr
+            if isinstance(e, ast.Star):
+                for i, f in enumerate(scope.fields):
+                    if e.table is None or f.table == e.table:
+                        items.append((ast.ColumnRef(f.name, f.table), f.name))
+                if not items:
+                    raise BindError(f"no columns for {e.table}.*")
+            else:
+                items.append((e, it.alias or _auto_name(e)))
+
+        # ---- aggregate detection ----
+        has_aggs = any(
+            self._contains_agg(e) for e, _ in items
+        ) or (sel.having is not None and self._contains_agg(sel.having)) or bool(sel.group_by)
+
+        if has_aggs:
+            plan, scope, items, having = self._bind_aggregate(sel, plan, scope, items)
+        else:
+            having = None
+            if sel.having is not None:
+                raise BindError("HAVING requires GROUP BY or aggregates")
+
+        if having is not None:
+            plan = Filter(plan, having)
+
+        # ---- projection ----
+        proj_exprs = [self.bind_expr(e, scope) for e, _ in items]
+        out_fields = [
+            Field(name, ex.dtype, ex.nullable)
+            for (_, name), ex in zip(items, proj_exprs)
+        ]
+
+        # ---- ORDER BY (may reference aliases, ordinals, or input columns) ----
+        sort_keys: list[SortKey] = []
+        hidden: list[BExpr] = []
+        if sel.order_by:
+            out_scope = Scope(list(out_fields))
+            for o in sel.order_by:
+                key_expr = self._resolve_order_expr(o.expr, items, out_scope, scope)
+                if isinstance(key_expr, int):        # index into projection output
+                    bexpr = proj_exprs[key_expr]
+                    pos = key_expr
+                else:                                # expression over input scope
+                    bexpr = key_expr
+                    pos = None
+                    # append as hidden projection column if not already projected
+                    for i, pe in enumerate(proj_exprs):
+                        if pe == bexpr:
+                            pos = i
+                            break
+                    if pos is None:
+                        pos = len(proj_exprs)
+                        proj_exprs.append(bexpr)
+                        hidden.append(bexpr)
+                        out_fields.append(Field(f"__sort_{len(hidden)}", bexpr.dtype,
+                                                bexpr.nullable))
+                nf = o.nulls_first
+                if nf is None:
+                    nf = not o.ascending   # Postgres default: NULLS LAST asc, FIRST desc
+                sort_keys.append(SortKey(
+                    BColumn(bexpr.dtype, bexpr.nullable, pos, out_fields[pos].name),
+                    o.ascending, nf))
+
+        plan = Projection(plan, tuple(proj_exprs), tuple(out_fields))
+
+        if sel.distinct:
+            if hidden:
+                raise BindError("ORDER BY expressions must appear in SELECT DISTINCT list")
+            plan = Distinct(plan)
+
+        if sort_keys:
+            plan = Sort(plan, tuple(sort_keys))
+            if hidden:  # drop hidden sort columns
+                keep = len(out_fields) - len(hidden)
+                cols = tuple(
+                    BColumn(f.dtype, f.nullable, i, f.name)
+                    for i, f in enumerate(out_fields[:keep]))
+                plan = Projection(plan, cols, tuple(out_fields[:keep]))
+
+        if sel.limit is not None or sel.offset is not None:
+            plan = Limit(plan, sel.limit, sel.offset or 0)
+        return plan
+
+    # ---- aggregate planning ----
+
+    def _bind_aggregate(self, sel, plan, scope, items):
+        from .logical import Aggregate
+
+        # resolve GROUP BY expressions (ordinals / aliases / exprs)
+        group_asts: list[ast.Expr] = []
+        for g in sel.group_by:
+            if isinstance(g, ast.Literal) and isinstance(g.value, int):
+                idx = g.value - 1
+                if not (0 <= idx < len(items)):
+                    raise BindError(f"GROUP BY ordinal {g.value} out of range")
+                group_asts.append(items[idx][0])
+            elif isinstance(g, ast.ColumnRef) and g.table is None and not any(
+                    f.name == g.name for f in scope.fields):
+                # alias reference
+                for e, name in items:
+                    if name == g.name:
+                        group_asts.append(e)
+                        break
+                else:
+                    raise BindError(f"GROUP BY column {g.name!r} not found")
+            else:
+                group_asts.append(g)
+
+        group_bound = [self.bind_expr(g, scope) for g in group_asts]
+
+        # collect aggregate calls from select items + having + order by
+        agg_calls: list[ast.FunctionCall] = []
+
+        def collect(e):
+            for fc in self._iter_agg_calls(e):
+                if fc not in agg_calls:
+                    agg_calls.append(fc)
+
+        for e, _ in items:
+            collect(e)
+        if sel.having is not None:
+            collect(sel.having)
+        for o in sel.order_by:
+            collect(o.expr)
+
+        specs: list[AggSpec] = []
+        for i, fc in enumerate(agg_calls):
+            specs.append(self._bind_agg_call(fc, scope, f"__agg_{i}"))
+
+        group_fields = [
+            Field(_auto_name(g_ast), g.dtype, g.nullable)
+            for g_ast, g in zip(group_asts, group_bound)
+        ]
+        agg_fields = [
+            Field(s.out_name, s.out_dtype, s.out_nullable) for s in specs
+        ]
+        agg_schema = tuple(group_fields + agg_fields)
+        plan = Aggregate(plan, tuple(group_bound), tuple(specs), agg_schema)
+
+        # Rebind select/having/order expressions over the aggregate output:
+        # occurrences of a group expr AST → BColumn(i); agg call → BColumn(g+j).
+        ng = len(group_bound)
+
+        def rebind(e: ast.Expr) -> BExpr:
+            for i, g_ast in enumerate(group_asts):
+                if e == g_ast:
+                    f = agg_schema[i]
+                    return BColumn(f.dtype, f.nullable, i, f.name)
+            if isinstance(e, ast.FunctionCall) and self._is_agg(e):
+                j = agg_calls.index(e)
+                f = agg_schema[ng + j]
+                return BColumn(f.dtype, f.nullable, ng + j, f.name)
+            return self._bind_composite(e, rebind)
+
+        new_items = []
+        for e, name in items:
+            new_items.append((_PreBound(rebind(e)), name))
+        having = rebind(sel.having) if sel.having is not None else None
+
+        new_scope = Scope(list(agg_schema))
+        # order_by handled by caller through _resolve_order_expr with new scope
+        self._agg_rebind = rebind
+        return plan, new_scope, new_items, having
+
+    def _bind_agg_call(self, fc: ast.FunctionCall, scope: Scope, out_name: str) -> AggSpec:
+        name = fc.name
+        if name == "count" and len(fc.args) == 1 and isinstance(fc.args[0], ast.Star):
+            return AggSpec("count_star", None, False, out_name, SqlType.INT64, False)
+        if len(fc.args) != 1:
+            raise BindError(f"{name}() takes exactly one argument")
+        arg = self.bind_expr(fc.args[0], scope)
+        if name == "count":
+            return AggSpec("count", arg, fc.distinct, out_name, SqlType.INT64, False)
+        if name in ("sum",):
+            if arg.dtype.is_integer:
+                out = SqlType.INT64
+            elif arg.dtype.is_float:
+                out = SqlType.FLOAT64
+            else:
+                raise BindError(f"sum() over {arg.dtype.name} not supported")
+            return AggSpec("sum", arg, fc.distinct, out_name, out, True)
+        if name == "avg":
+            if not arg.dtype.is_numeric:
+                raise BindError(f"avg() over {arg.dtype.name} not supported")
+            return AggSpec("avg", arg, fc.distinct, out_name, SqlType.FLOAT64, True)
+        if name in ("min", "max"):
+            if not (arg.dtype.is_numeric or arg.dtype.is_string or arg.dtype.is_temporal
+                    or arg.dtype is SqlType.BOOL):
+                raise BindError(f"{name}() over {arg.dtype.name} not supported")
+            return AggSpec(name, arg, False, out_name, arg.dtype, True)
+        if name in ("stddev", "stddev_samp", "var", "var_samp"):
+            if not arg.dtype.is_numeric:
+                raise BindError(f"{name}() over {arg.dtype.name} not supported")
+            canon = {"stddev": "stddev", "stddev_samp": "stddev",
+                     "var": "var", "var_samp": "var"}[name]
+            return AggSpec(canon, arg, False, out_name, SqlType.FLOAT64, True)
+        if name in ("first_value", "any_value"):
+            return AggSpec("any_value", arg, False, out_name, arg.dtype, True)
+        raise NotSupportedError(f"aggregate function {name}() not supported")
+
+    def _is_agg(self, e) -> bool:
+        return (isinstance(e, ast.FunctionCall)
+                and (e.name in AGG_FUNCS or e.name == "count"))
+
+    def _contains_agg(self, e: ast.Expr) -> bool:
+        return any(True for _ in self._iter_agg_calls(e))
+
+    def _iter_agg_calls(self, e):
+        if isinstance(e, ast.FunctionCall) and self._is_agg(e):
+            yield e
+            return
+        for c in _ast_children(e):
+            yield from self._iter_agg_calls(c)
+
+    # ---- ORDER BY resolution ----
+
+    def _resolve_order_expr(self, e: ast.Expr, items, out_scope: Scope, in_scope: Scope):
+        """Return either an int (projection output ordinal) or a BExpr over in_scope."""
+        if isinstance(e, ast.Literal) and isinstance(e.value, int):
+            idx = e.value - 1
+            if not (0 <= idx < len(items)):
+                raise BindError(f"ORDER BY ordinal {e.value} out of range")
+            return idx
+        if isinstance(e, ast.ColumnRef) and e.table is None:
+            for i, (_, name) in enumerate(items):
+                if name == e.name:
+                    return i
+        # match full expression against select items
+        for i, (item_e, _) in enumerate(items):
+            if isinstance(item_e, _PreBound):
+                continue
+            if e == item_e:
+                return i
+        # else bind over the input scope (pre-projection columns)
+        if hasattr(self, "_agg_rebind") and self._agg_rebind is not None:
+            return self._agg_rebind(e)
+        return self.bind_expr(e, in_scope)
+
+    def _bind_order_item(self, o: ast.OrderItem, scope: Scope, _) -> SortKey:
+        b = self.bind_expr(o.expr, scope)
+        nf = o.nulls_first
+        if nf is None:
+            nf = not o.ascending
+        return SortKey(b, o.ascending, nf)
+
+    # ================= relations =================
+
+    def bind_relation(self, rel: ast.Relation) -> tuple[LogicalPlan, Scope]:
+        if isinstance(rel, ast.TableRef):
+            key = rel.name.lower()
+            alias = (rel.alias or rel.name).lower()
+            if key in self.ctes:
+                sub = self.ctes[key]
+                fields = [dataclasses.replace(f, table=alias) for f in sub.schema]
+                return sub, Scope(fields)
+            schema = self.catalog.table_schema(rel.name)
+            fields = [dataclasses.replace(f, table=alias) for f in schema]
+            return Scan(rel.name, tuple(fields)), Scope(fields)
+        if isinstance(rel, ast.SubqueryRef):
+            sub = self.bind(rel.query)
+            alias = rel.alias.lower()
+            fields = [dataclasses.replace(f, table=alias) for f in sub.schema]
+            return sub, Scope(fields)
+        if isinstance(rel, ast.Join):
+            return self._bind_join(rel)
+        raise NotSupportedError(f"relation {type(rel).__name__}")
+
+    def _bind_join(self, j: ast.Join) -> tuple[LogicalPlan, Scope]:
+        from .logical import shift_columns
+        left, lscope = self.bind_relation(j.left)
+        right, rscope = self.bind_relation(j.right)
+        nl = len(lscope.fields)
+        joined_fields = list(lscope.fields) + list(rscope.fields)
+        jscope = Scope(joined_fields)
+
+        left_keys: list[BExpr] = []
+        right_keys: list[BExpr] = []
+        residual: Optional[BExpr] = None
+
+        if j.using:
+            for c in j.using:
+                li = lscope.resolve(c, None)
+                ri = rscope.resolve(c, None)
+                lf, rf = lscope.fields[li], rscope.fields[ri]
+                left_keys.append(BColumn(lf.dtype, lf.nullable, li, lf.name))
+                right_keys.append(BColumn(rf.dtype, rf.nullable, ri, rf.name))
+        elif j.condition is not None:
+            conjuncts = _split_and(j.condition)
+            residual_parts = []
+            for c in conjuncts:
+                pair = self._try_equi_key(c, lscope, rscope)
+                if pair is not None:
+                    left_keys.append(pair[0])
+                    right_keys.append(pair[1])
+                else:
+                    residual_parts.append(self.bind_expr(c, jscope))
+            for p in residual_parts:
+                residual = p if residual is None else BBinary(
+                    SqlType.BOOL, True, ast.BinOp.AND, residual, p)
+        elif j.kind is not ast.JoinKind.CROSS:
+            raise BindError("JOIN requires ON or USING")
+
+        # outer-join nullability
+        out_fields = []
+        for i, f in enumerate(joined_fields):
+            nullable = f.nullable
+            if j.kind in (ast.JoinKind.LEFT, ast.JoinKind.FULL) and i >= nl:
+                nullable = True
+            if j.kind in (ast.JoinKind.RIGHT, ast.JoinKind.FULL) and i < nl:
+                nullable = True
+            out_fields.append(dataclasses.replace(f, nullable=nullable))
+
+        plan = Join(left, right, j.kind, tuple(left_keys), tuple(right_keys),
+                    residual, tuple(out_fields))
+        return plan, Scope(out_fields)
+
+    def _try_equi_key(self, c: ast.Expr, lscope: Scope, rscope: Scope):
+        """If `c` is l.col = r.col (either orientation), return bound key pair."""
+        if not (isinstance(c, ast.BinaryOp) and c.op is ast.BinOp.EQ):
+            return None
+        def try_side(e, scope):
+            if isinstance(e, ast.ColumnRef):
+                try:
+                    i = scope.resolve(e.name, e.table)
+                except BindError:
+                    return None
+                f = scope.fields[i]
+                return BColumn(f.dtype, f.nullable, i, f.name)
+            return None
+        ll = try_side(c.left, lscope)
+        rr = try_side(c.right, rscope)
+        if ll is not None and rr is not None:
+            return (ll, rr)
+        lr = try_side(c.left, rscope)
+        rl = try_side(c.right, lscope)
+        if lr is not None and rl is not None:
+            return (rl, lr)
+        return None
+
+    # ================= expressions =================
+
+    def bind_expr(self, e: ast.Expr, scope: Scope) -> BExpr:
+        if isinstance(e, _PreBound):
+            return e.bound
+        if isinstance(e, ast.Literal):
+            dt, nullable = _infer_literal(e.value)
+            return BLiteral(dt, nullable, e.value)
+        if isinstance(e, ast.ColumnRef):
+            i = scope.resolve(e.name, e.table)
+            f = scope.fields[i]
+            return BColumn(f.dtype, f.nullable, i, f.name)
+        if isinstance(e, ast.BinaryOp):
+            return self._bind_binary(e, scope)
+        if isinstance(e, ast.UnaryOp):
+            operand = self.bind_expr(e.operand, scope)
+            if e.op is ast.UnOp.NOT:
+                if operand.dtype not in (SqlType.BOOL, SqlType.NULL):
+                    raise BindError("NOT expects a boolean")
+                return BUnary(SqlType.BOOL, operand.nullable, ast.UnOp.NOT, operand)
+            if not operand.dtype.is_numeric:
+                raise BindError("unary minus expects a numeric")
+            return BUnary(operand.dtype, operand.nullable, e.op, operand)
+        if isinstance(e, ast.IsNull):
+            operand = self.bind_expr(e.operand, scope)
+            return BIsNull(SqlType.BOOL, False, operand, e.negated)
+        if isinstance(e, ast.IsDistinctFrom):
+            l = self.bind_expr(e.left, scope)
+            r = self.bind_expr(e.right, scope)
+            return BIsDistinctFrom(SqlType.BOOL, False, l, r, e.negated)
+        if isinstance(e, ast.Between):
+            # x BETWEEN a AND b  ≡  x >= a AND x <= b
+            low = ast.BinaryOp(ast.BinOp.GTE, e.operand, e.low)
+            high = ast.BinaryOp(ast.BinOp.LTE, e.operand, e.high)
+            both = ast.BinaryOp(ast.BinOp.AND, low, high)
+            if e.negated:
+                both = ast.UnaryOp(ast.UnOp.NOT, both)
+            return self.bind_expr(both, scope)
+        if isinstance(e, ast.InList):
+            operand = self.bind_expr(e.operand, scope)
+            items = tuple(self.bind_expr(i, scope) for i in e.items)
+            nullable = operand.nullable or any(i.nullable for i in items)
+            return BInList(SqlType.BOOL, nullable, operand, items, e.negated)
+        if isinstance(e, ast.Like):
+            operand = self.bind_expr(e.operand, scope)
+            if not operand.dtype.is_string:
+                raise BindError("LIKE expects a string operand")
+            pat = self.bind_expr(e.pattern, scope)
+            if not isinstance(pat, BLiteral) or not isinstance(pat.value, str):
+                raise NotSupportedError("LIKE pattern must be a string literal")
+            return BLike(SqlType.BOOL, operand.nullable, operand, pat.value,
+                         e.negated, e.case_insensitive)
+        if isinstance(e, ast.Cast):
+            operand = self.bind_expr(e.operand, scope)
+            tname = e.type_name
+            if tname not in _TYPE_NAMES:
+                raise BindError(f"unknown type {tname!r} in CAST")
+            target = _TYPE_NAMES[tname]
+            return BCast(target, operand.nullable or e.safe, operand, e.safe)
+        if isinstance(e, ast.Case):
+            return self._bind_case(e, scope)
+        if isinstance(e, ast.FunctionCall):
+            return self._bind_function(e, scope)
+        if isinstance(e, ast.ScalarSubquery):
+            sub = self.bind(e.query)
+            if len(sub.schema) != 1:
+                raise BindError("scalar subquery must return one column")
+            f = sub.schema[0]
+            return BScalarSubquery(f.dtype, True, sub)
+        if isinstance(e, (ast.Exists, ast.InSubquery)):
+            raise NotSupportedError(
+                f"{type(e).__name__} is not supported yet; rewrite as a JOIN")
+        raise NotSupportedError(f"expression {type(e).__name__}")
+
+    def _bind_binary(self, e: ast.BinaryOp, scope: Scope) -> BExpr:
+        l = self.bind_expr(e.left, scope)
+        r = self.bind_expr(e.right, scope)
+        nullable = l.nullable or r.nullable
+        if e.op in _LOGIC_OPS:
+            for side in (l, r):
+                if side.dtype not in (SqlType.BOOL, SqlType.NULL):
+                    raise BindError(f"{e.op.value} expects booleans")
+            return BBinary(SqlType.BOOL, nullable, e.op, l, r)
+        if e.op in _CMP_OPS:
+            self._check_comparable(l, r, e.op)
+            return BBinary(SqlType.BOOL, nullable, e.op, l, r)
+        if e.op is ast.BinOp.CONCAT:
+            if not ((l.dtype.is_string or l.dtype is SqlType.NULL)
+                    and (r.dtype.is_string or r.dtype is SqlType.NULL)):
+                raise BindError("|| expects strings")
+            return BBinary(SqlType.STRING, nullable, e.op, l, r)
+        if e.op in _ARITH_OPS:
+            if not (l.dtype.is_numeric or l.dtype is SqlType.NULL) or \
+               not (r.dtype.is_numeric or r.dtype is SqlType.NULL):
+                raise BindError(f"{e.op.value} expects numeric operands "
+                                f"({l.dtype.name}, {r.dtype.name})")
+            out = common_type(l.dtype, r.dtype)
+            if e.op is ast.BinOp.DIV and out.is_integer:
+                pass  # SQL integer division truncates
+            # division by zero yields NULL
+            if e.op in (ast.BinOp.DIV, ast.BinOp.MOD):
+                nullable = True
+            return BBinary(out, nullable, e.op, l, r)
+        raise NotSupportedError(f"operator {e.op.value}")
+
+    def _check_comparable(self, l: BExpr, r: BExpr, op) -> None:
+        lt, rt = l.dtype, r.dtype
+        if SqlType.NULL in (lt, rt):
+            return
+        if lt.is_numeric and rt.is_numeric:
+            return
+        if lt == rt:
+            return
+        if lt.is_string and rt.is_string:
+            return
+        if lt.is_temporal and rt.is_temporal:
+            return
+        raise BindError(f"cannot compare {lt.name} with {rt.name}")
+
+    def _bind_case(self, e: ast.Case, scope: Scope) -> BExpr:
+        whens = []
+        for cond, val in e.whens:
+            if e.operand is not None:
+                cond = ast.BinaryOp(ast.BinOp.EQ, e.operand, cond)
+            bc = self.bind_expr(cond, scope)
+            if bc.dtype not in (SqlType.BOOL, SqlType.NULL):
+                raise BindError("CASE WHEN condition must be boolean")
+            whens.append((bc, self.bind_expr(val, scope)))
+        else_ = self.bind_expr(e.else_, scope) if e.else_ is not None else None
+        out = whens[0][1].dtype
+        for _, v in whens[1:]:
+            out = common_type(out, v.dtype)
+        if else_ is not None:
+            out = common_type(out, else_.dtype)
+        nullable = else_ is None or else_.nullable or any(v.nullable for _, v in whens)
+        return BCase(out, nullable, tuple(whens), else_)
+
+    def _bind_function(self, e: ast.FunctionCall, scope: Scope) -> BExpr:
+        if self._is_agg(e):
+            raise BindError(f"aggregate {e.name}() not allowed here")
+        name = e.name
+        if name == "coalesce":
+            args = tuple(self.bind_expr(a, scope) for a in e.args)
+            if not args:
+                raise BindError("coalesce() needs arguments")
+            out = args[0].dtype
+            for a in args[1:]:
+                out = common_type(out, a.dtype)
+            nullable = all(a.nullable for a in args)
+            return BScalarFunc(out, nullable, "coalesce", args)
+        if name == "nullif":
+            if len(e.args) != 2:
+                raise BindError("nullif() takes two arguments")
+            args = tuple(self.bind_expr(a, scope) for a in e.args)
+            return BScalarFunc(args[0].dtype, True, "nullif", args)
+        fn = self.functions.get(name)
+        if fn is None:
+            raise BindError(f"unknown function {name!r}")
+        if not (fn.min_args <= len(e.args) <= fn.max_args):
+            raise BindError(f"{name}() takes {fn.min_args}..{fn.max_args} arguments")
+        args = tuple(self.bind_expr(a, scope) for a in e.args)
+        ret = fn.ret_type([a.dtype for a in args])
+        nullable = any(a.nullable for a in args)
+        if fn.kind == "numeric":
+            return BScalarFunc(ret, nullable, name, args)
+        return BStringFunc(ret, nullable, name, args, udf=fn.host_fn)
+
+    def _bind_composite(self, e: ast.Expr, rebind) -> BExpr:
+        """Rebind a composite AST node whose leaves go through `rebind`."""
+        scope = _RebindScope(rebind)
+        return _CompositeBinder(self, scope).bind(e)
+
+
+class _PreBound(ast.Expr):
+    """Wrapper carrying an already-bound expression through item lists."""
+    def __init__(self, bound: BExpr):
+        self.bound = bound
+
+
+class _RebindScope:
+    def __init__(self, rebind):
+        self.rebind = rebind
+
+
+class _CompositeBinder:
+    """Binds an AST whose column refs / agg calls are resolved by a rebind fn."""
+
+    def __init__(self, binder: Binder, scope: _RebindScope):
+        self.binder = binder
+        self.scope = scope
+
+    def bind(self, e: ast.Expr) -> BExpr:
+        rebound = self.scope.rebind
+        # leaves that the rebind function handles directly
+        if isinstance(e, (ast.ColumnRef, ast.FunctionCall)) and (
+                isinstance(e, ast.FunctionCall) and self.binder._is_agg(e)
+                or isinstance(e, ast.ColumnRef)):
+            out = rebound(e)
+            if isinstance(out, BExpr):
+                return out
+        shim = _ShimScope(self, rebound)
+        return self.binder.bind_expr(e, shim)
+
+
+class _ShimScope(Scope):
+    """Scope that defers to an agg-rebind function for column resolution."""
+
+    def __init__(self, comp: _CompositeBinder, rebind):
+        super().__init__([])
+        self._rebind = rebind
+
+    def resolve(self, name, table):
+        out = self._rebind(ast.ColumnRef(name, table))
+        if isinstance(out, BColumn):
+            self.fields = [Field(out.name, out.dtype, out.nullable)] * (out.index + 1)
+            return out.index
+        raise BindError(f"column {name!r} must appear in GROUP BY or an aggregate")
+
+
+def _split_and(e: ast.Expr) -> list[ast.Expr]:
+    if isinstance(e, ast.BinaryOp) and e.op is ast.BinOp.AND:
+        return _split_and(e.left) + _split_and(e.right)
+    return [e]
+
+
+def _ast_children(e: ast.Expr) -> tuple:
+    if isinstance(e, ast.BinaryOp):
+        return (e.left, e.right)
+    if isinstance(e, ast.UnaryOp):
+        return (e.operand,)
+    if isinstance(e, ast.IsNull):
+        return (e.operand,)
+    if isinstance(e, ast.IsDistinctFrom):
+        return (e.left, e.right)
+    if isinstance(e, ast.Between):
+        return (e.operand, e.low, e.high)
+    if isinstance(e, ast.InList):
+        return (e.operand,) + e.items
+    if isinstance(e, ast.Like):
+        return (e.operand, e.pattern)
+    if isinstance(e, ast.FunctionCall):
+        return e.args
+    if isinstance(e, ast.Cast):
+        return (e.operand,)
+    if isinstance(e, ast.Case):
+        out = []
+        if e.operand is not None:
+            out.append(e.operand)
+        for c, v in e.whens:
+            out.extend((c, v))
+        if e.else_ is not None:
+            out.append(e.else_)
+        return tuple(out)
+    return ()
+
+
+def _auto_name(e: ast.Expr) -> str:
+    if isinstance(e, ast.ColumnRef):
+        return e.name
+    if isinstance(e, ast.FunctionCall):
+        if e.args and isinstance(e.args[0], ast.Star):
+            return f"{e.name}(*)"
+        inner = ",".join(_auto_name(a) for a in e.args)
+        return f"{e.name}({inner})"
+    if isinstance(e, ast.Literal):
+        if e.value is None:
+            return "NULL"
+        if isinstance(e.value, str):
+            return f"'{e.value}'"
+        return str(e.value)
+    if isinstance(e, ast.BinaryOp):
+        return f"{_auto_name(e.left)} {e.op.value} {_auto_name(e.right)}"
+    if isinstance(e, ast.Cast):
+        return _auto_name(e.operand)
+    if isinstance(e, _PreBound):
+        return "expr"
+    return "expr"

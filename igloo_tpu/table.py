@@ -1,0 +1,220 @@
+"""Device-resident columnar tables: the TPU replacement for Arrow RecordBatch.
+
+The reference moves `arrow::RecordBatch` through every operator
+(/root/reference/crates/engine/src/physical_plan.rs:11-17) in 1024-row
+streamed batches (parquet_scan.rs:54). A TPU wants the opposite shape of
+data: few, large, statically-shaped arrays resident in HBM so XLA can tile
+them onto the VPU/MXU. So:
+
+- A `Column` is one JAX array (whole table, padded to a lane multiple)
+  plus an optional validity mask and, for strings, a host-side
+  order-preserving dictionary (see dtypes.py).
+- A `DeviceTable` is an ordered set of named Columns sharing a row count.
+- Ingest (pyarrow → device) and egress (device → pyarrow) are the only
+  places strings are materialized as bytes; all device compute is on
+  fixed-width arrays.
+
+Padding: row counts are padded up to a multiple of `PAD` so every kernel
+sees aligned shapes; `nrows` carries the true count and operators mask the
+tail (`row_mask()`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+
+from .dtypes import SqlType, from_arrow as sqltype_from_arrow, numpy_dtype
+
+PAD = 128  # lane width; all column lengths are multiples of this
+
+
+def pad_count(n: int, pad: int = PAD) -> int:
+    return max(pad, -(-n // pad) * pad)
+
+
+@dataclasses.dataclass
+class Column:
+    data: jax.Array
+    dtype: SqlType
+    validity: jax.Array | None = None          # bool; True = valid; None = all valid
+    dictionary: np.ndarray | None = None       # sorted str dictionary for STRING
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[0]
+
+    def valid_mask(self, capacity: int | None = None) -> jax.Array:
+        if self.validity is not None:
+            return self.validity
+        n = capacity if capacity is not None else self.capacity
+        return jnp.ones((n,), dtype=jnp.bool_)
+
+
+def _sort_dictionary(values: np.ndarray, codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Re-sort a dictionary so code order == lexicographic order, remapping codes."""
+    order = np.argsort(values, kind="stable")
+    rank = np.empty(len(values), dtype=np.int32)
+    rank[order] = np.arange(len(values), dtype=np.int32)
+    return values[order], rank[codes]
+
+
+def encode_strings(arr: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow string array → (codes int32, valid bool, sorted dictionary).
+
+    Null slots get code 0 with valid=False.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_encode()
+    codes = arr.indices.to_numpy(zero_copy_only=False)
+    valid = ~np.asarray(arr.is_null())
+    codes = np.where(valid, codes, 0).astype(np.int32)
+    values = np.asarray(arr.dictionary.to_pylist(), dtype=object)
+    if len(values) == 0:
+        values = np.asarray([""], dtype=object)
+        codes = np.zeros_like(codes)
+    values, codes = _sort_dictionary(values, codes)
+    return codes, valid, values
+
+
+class DeviceTable:
+    """Named device columns + a true row count."""
+
+    def __init__(self, columns: Mapping[str, Column], nrows: int):
+        self.columns: dict[str, Column] = dict(columns)
+        self.nrows = int(nrows)
+        caps = {c.capacity for c in self.columns.values()}
+        if len(caps) > 1:
+            raise ValueError(f"ragged column capacities: {caps}")
+
+    # ---- shape ----
+    @property
+    def capacity(self) -> int:
+        if not self.columns:
+            return pad_count(self.nrows)
+        return next(iter(self.columns.values())).capacity
+
+    @property
+    def names(self) -> list[str]:
+        return list(self.columns.keys())
+
+    def schema(self) -> list[tuple[str, SqlType]]:
+        return [(n, c.dtype) for n, c in self.columns.items()]
+
+    def row_mask(self) -> jax.Array:
+        """True for real rows, False for pad tail."""
+        return jnp.arange(self.capacity) < self.nrows
+
+    def __repr__(self) -> str:
+        cols = ", ".join(f"{n}:{c.dtype.name}" for n, c in self.columns.items())
+        return f"DeviceTable[{self.nrows} rows, cap {self.capacity}]({cols})"
+
+    # ---- ingest ----
+    @classmethod
+    def from_arrow(cls, table: pa.Table, device=None) -> "DeviceTable":
+        nrows = table.num_rows
+        cap = pad_count(nrows)
+        cols: dict[str, Column] = {}
+        for name, col in zip(table.column_names, table.columns):
+            st = sqltype_from_arrow(col.type)
+            if st.is_string:
+                codes, valid, dictionary = encode_strings(col)
+                data = _pad_np(codes, cap)
+                vmask = None if valid.all() and nrows == cap else _pad_np(valid, cap)
+                cols[name] = Column(
+                    data=_put(data, device), dtype=st,
+                    validity=_put(vmask, device) if vmask is not None else None,
+                    dictionary=dictionary,
+                )
+            else:
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                valid = ~np.asarray(arr.is_null()) if arr.null_count else None
+                npdt = numpy_dtype(st)
+                np_data = arr.to_numpy(zero_copy_only=False)
+                if valid is not None:
+                    # to_numpy of a nullable column yields float with NaN; refetch via fill
+                    np_data = arr.fill_null(_zero_value(st)).to_numpy(zero_copy_only=False)
+                np_data = np.ascontiguousarray(np_data).astype(npdt, copy=False)
+                data = _pad_np(np_data, cap)
+                vmask = None
+                if valid is not None:
+                    vmask = _pad_np(valid, cap)
+                elif nrows != cap:
+                    vmask = None  # tail handled by row_mask, not validity
+                cols[name] = Column(
+                    data=_put(data, device), dtype=st,
+                    validity=_put(vmask, device) if vmask is not None else None,
+                )
+        return cls(cols, nrows)
+
+    @classmethod
+    def from_pydict(cls, data: Mapping[str, Iterable], device=None) -> "DeviceTable":
+        return cls.from_arrow(pa.table(dict(data)), device=device)
+
+    # ---- egress ----
+    def to_arrow(self) -> pa.Table:
+        arrays = []
+        names = []
+        n = self.nrows
+        for name, col in self.columns.items():
+            host = np.asarray(jax.device_get(col.data))[:n]
+            valid = None
+            if col.validity is not None:
+                valid = np.asarray(jax.device_get(col.validity))[:n]
+            if col.dtype.is_string:
+                dictionary = col.dictionary if col.dictionary is not None else np.asarray([""], dtype=object)
+                codes = np.clip(host.astype(np.int64), 0, len(dictionary) - 1)
+                values = dictionary[codes]
+                pyvals = [
+                    None if (valid is not None and not valid[i]) else values[i]
+                    for i in range(n)
+                ]
+                arrays.append(pa.array(pyvals, type=pa.string()))
+            else:
+                arrow_t = col.dtype.to_arrow()
+                if valid is not None:
+                    arrays.append(pa.array(host, type=arrow_t, mask=~valid))
+                else:
+                    arrays.append(pa.array(host, type=arrow_t))
+            names.append(name)
+        if not names:
+            return pa.table({})
+        return pa.table(dict(zip(names, arrays)))
+
+    def to_pydict(self) -> dict[str, list]:
+        return self.to_arrow().to_pydict()
+
+    def to_pandas(self):
+        return self.to_arrow().to_pandas()
+
+
+def _put(x, device):
+    if x is None:
+        return None
+    arr = jnp.asarray(x)
+    if device is not None:
+        arr = jax.device_put(arr, device)
+    return arr
+
+
+def _pad_np(a: np.ndarray, cap: int) -> np.ndarray:
+    if len(a) == cap:
+        return a
+    out = np.zeros((cap,), dtype=a.dtype)
+    out[: len(a)] = a
+    return out
+
+
+def _zero_value(st: SqlType):
+    if st.is_float:
+        return 0.0
+    if st is SqlType.BOOL:
+        return False
+    return 0
