@@ -1,0 +1,751 @@
+"""Distributed plan execution: one `shard_map` SPMD program per fragment.
+
+Replaces the reference's DistributedPlanner/DistributedExecutor
+(/root/reference/crates/coordinator/src/distributed_planner.rs,
+distributed_executor.rs): where the reference builds a fragment DAG,
+ships empty serialized plans to stub workers and fabricates dummy
+batches (`distributed_executor.rs:203-222`), here the *whole
+distributable subtree* of a query compiles into a single SPMD program:
+
+- Scan/Filter/Projection run shard-local (no communication),
+- Aggregate runs two-phase: local partial agg → all_to_all shuffle of
+  partial groups by key hash → local final merge. Zipf-skewed keys are
+  naturally handled: the shuffle moves at most (cardinality × shards)
+  partial rows, not data rows,
+- Join shuffles both sides by key hash (or all_gathers a small build
+  side — broadcast join), then joins locally,
+- non-distributable tails (global Sort, Limit, Values, ...) run on the
+  gathered result through the single-device executor.
+
+Capacities are static; shuffle-bucket or join-duplication overflow is
+detected in-program and surfaced, and the host retries with doubled
+capacity (a recompile, not silent data loss).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..dtypes import SqlType
+from ..errors import ExecutionError, NotSupportedError
+from ..sql.ast import JoinKind
+from ..plan import logical as L
+from ..table import pad_count
+from ..ops import join_ops
+from ..ops.aggregate import AggInput, grouped_aggregate
+from ..ops.sort_ops import sort_perm
+from ..exec.expr import EvalCtx, ExprPrep, VV, eval_expr, merge_dicts
+from .partition import PartCol, PartitionedTable
+from .shuffle import dest_from_key, shuffle_rows
+
+
+# ---------------------------------------------------------------------------
+# distributability
+# ---------------------------------------------------------------------------
+
+_DISTRIBUTABLE = (L.Scan, L.Filter, L.Projection, L.Aggregate, L.Join,
+                  L.Distinct)
+
+
+def node_distributable(node: L.LogicalPlan) -> bool:
+    if not isinstance(node, _DISTRIBUTABLE):
+        return False
+    if isinstance(node, L.Join) and node.kind is JoinKind.CROSS:
+        return False
+    # scalar subqueries need recursive host execution — keep on host path
+    for e in _node_exprs(node):
+        for sub in L.walk_expr(e):
+            if isinstance(sub, L.BScalarSubquery):
+                return False
+    return True
+
+
+def subtree_distributable(node: L.LogicalPlan) -> bool:
+    return node_distributable(node) and all(
+        subtree_distributable(c) for c in node.children())
+
+
+def _node_exprs(node: L.LogicalPlan) -> list:
+    if isinstance(node, L.Projection):
+        return list(node.exprs)
+    if isinstance(node, L.Filter):
+        return [node.predicate]
+    if isinstance(node, L.Aggregate):
+        return list(node.group_exprs) + [a.arg for a in node.aggs
+                                         if a.arg is not None]
+    if isinstance(node, L.Join):
+        out = list(node.left_keys) + list(node.right_keys)
+        if node.residual is not None:
+            out.append(node.residual)
+        return out
+    if isinstance(node, L.Sort):
+        return [k.expr for k in node.keys]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# in-trace shard-local table
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SCol:
+    arr: object
+    valid: object
+    dtype: SqlType
+    dictionary: Optional[np.ndarray]
+
+
+@dataclasses.dataclass
+class STable:
+    cols: list[SCol]
+    names: list[str]
+    alive: object          # bool (cap,)
+    cap: int
+
+
+# ---------------------------------------------------------------------------
+# fragment compiler
+# ---------------------------------------------------------------------------
+
+class DistFragment:
+    """Compiles + runs one distributable subtree over the mesh."""
+
+    def __init__(self, mesh, ptables: dict[str, PartitionedTable],
+                 functions, shuffle_factor: int = 2, join_factor: int = 2,
+                 broadcast_rows: int = 1 << 20):
+        self.mesh = mesh
+        self.P = int(np.prod(mesh.devices.shape))
+        self.ptables = ptables
+        self.functions = functions
+        self.shuffle_factor = shuffle_factor
+        self.join_factor = join_factor
+        self.broadcast_rows = broadcast_rows
+        self._preps: dict[int, ExprPrep] = {}
+        self._scan_inputs: list = []     # (arrays…) appended during host prep
+        self._overflows: list = []       # traced overflow flags
+
+    # ---------- host phase ----------
+
+    def run(self, plan: L.LogicalPlan) -> PartitionedTable:
+        attempt = 0
+        while True:
+            try:
+                return self._run_once(plan)
+            except _OverflowRetry as r:
+                attempt += 1
+                if attempt > 4:
+                    raise ExecutionError(
+                        "distributed shuffle/join capacity overflow persisted "
+                        "after 4 retries — data too skewed for configured "
+                        "capacity factors") from None
+                self.shuffle_factor *= 2
+                self.join_factor *= 2
+
+    def _run_once(self, plan: L.LogicalPlan) -> PartitionedTable:
+        self._preps.clear()
+        self._scan_inputs = []
+        dict_env: dict[int, list] = {}
+        self._host_prepare(plan, dict_env)
+
+        scan_nodes = self._collect_scans(plan)
+        in_arrays = []
+        in_specs = []
+        for node in scan_nodes:
+            pt = self.ptables[node.table.lower()]
+            for f in node.schema:
+                c = pt.cols[f.name]
+                in_arrays.append(c.data)
+                in_specs.append(P("d", None))
+                in_arrays.append(c.valid)
+                in_specs.append(P("d", None) if c.valid is not None else None)
+            in_arrays.append(pt.counts)
+            in_specs.append(P("d"))
+
+        aux_arrays = []
+        for prep in self._preps.values():
+            for a in prep.aux_arrays:
+                aux_arrays.append(jnp.asarray(a))
+
+        compiled = self._build_program(plan, scan_nodes, in_specs,
+                                       [a.shape for a in aux_arrays])
+        out_arrs, out_valids, out_counts, overflow = compiled(
+            in_arrays, aux_arrays)
+
+        if bool(jax.device_get(overflow)):
+            raise _OverflowRetry()
+
+        out_dicts = dict_env[id(plan)]
+        names = _unique([f.name for f in plan.schema])
+        cols = {}
+        for name, f, arr, valid, d in zip(
+                names, plan.schema, out_arrs, out_valids, out_dicts):
+            cols[name] = PartCol(arr, valid, f.dtype, d)
+        total = int(np.asarray(jax.device_get(out_counts)).sum())
+        return PartitionedTable(cols, out_counts, self.mesh, total)
+
+    def _collect_scans(self, node, out=None):
+        if out is None:
+            out = []
+        if isinstance(node, L.Scan):
+            out.append(node)
+        for c in node.children():
+            self._collect_scans(c, out)
+        return out
+
+    def _host_prepare(self, node: L.LogicalPlan, dict_env: dict) -> list:
+        """Bottom-up: compute per-node ExprPreps + output dictionaries.
+        Returns the node's output dict list (one entry per schema column)."""
+        child_dicts = [self._host_prepare(c, dict_env) for c in node.children()]
+
+        if isinstance(node, L.Scan):
+            pt = self.ptables.get(node.table.lower())
+            if pt is None:
+                raise ExecutionError(f"table {node.table!r} is not partitioned")
+            dicts = [pt.cols[f.name].dictionary for f in node.schema]
+        elif isinstance(node, L.Filter):
+            prep = ExprPrep(child_dicts[0], self.functions)
+            prep.prepare(node.predicate)
+            self._preps[id(node)] = prep
+            dicts = child_dicts[0]
+        elif isinstance(node, L.Projection):
+            prep = ExprPrep(child_dicts[0], self.functions)
+            for e in node.exprs:
+                prep.prepare(e)
+            self._preps[id(node)] = prep
+            dicts = [prep.out_dict(e) if f.dtype.is_string else None
+                     for e, f in zip(node.exprs, node.schema)]
+        elif isinstance(node, (L.Aggregate, L.Distinct)):
+            if isinstance(node, L.Distinct):
+                dicts = child_dicts[0]
+            else:
+                prep = ExprPrep(child_dicts[0], self.functions)
+                for e in _node_exprs(node):
+                    prep.prepare(e)
+                self._preps[id(node)] = prep
+                dicts = [prep.out_dict(g) if f.dtype.is_string else None
+                         for g, f in zip(node.group_exprs, node.schema)]
+                dicts += [None] * len(node.aggs)
+        elif isinstance(node, L.Join):
+            lprep = ExprPrep(child_dicts[0], self.functions)
+            for e in node.left_keys:
+                lprep.prepare(e)
+            rprep = ExprPrep(child_dicts[1], self.functions)
+            for e in node.right_keys:
+                rprep.prepare(e)
+            self._preps[id(node)] = lprep
+            self._preps[id(node) + 1] = rprep  # right prep under id+1
+            # cross-side string key remaps
+            remaps = []
+            for le, re_ in zip(node.left_keys, node.right_keys):
+                if le.dtype.is_string and re_.dtype.is_string:
+                    ld = lprep.out_dict(le)
+                    rd = rprep.out_dict(re_)
+                    ld = ld if ld is not None else np.asarray([""], dtype=object)
+                    rd = rd if rd is not None else np.asarray([""], dtype=object)
+                    if len(ld) == len(rd) and (ld == rd).all():
+                        remaps.append(None)
+                    else:
+                        _, lrm, rrm = merge_dicts(ld, rd)
+                        li = lprep._add_aux(lrm)
+                        ri = rprep._add_aux(rrm)
+                        remaps.append((li, ri))
+                else:
+                    remaps.append(None)
+            self._join_remaps = getattr(self, "_join_remaps", {})
+            self._join_remaps[id(node)] = remaps
+            dicts = child_dicts[0] + child_dicts[1]
+            if node.residual is not None:
+                resprep = ExprPrep(dicts, self.functions)
+                resprep.prepare(node.residual)
+                self._preps[id(node) + 2] = resprep
+        else:
+            raise NotSupportedError(
+                f"distributed execution of {type(node).__name__}")
+        dict_env[id(node)] = dicts
+        return dicts
+
+    # ---------- traced phase ----------
+
+    def _build_program(self, plan, scan_nodes, in_specs, aux_shapes):
+        mesh = self.P and self.mesh
+        cap_out = None
+
+        # aux arrays are replicated
+        aux_specs = [P()] * len(aux_shapes)
+
+        def traced(flat_inputs, aux):
+            # rebuild scan tables
+            self._aux_cursor = {"list": aux, "pos": 0}
+            it = iter(flat_inputs)
+            env: dict[int, STable] = {}
+            for node in scan_nodes:
+                cols = []
+                names = []
+                for f in node.schema:
+                    data = next(it)[0]          # (cap,) after shard squeeze
+                    valid = next(it)
+                    valid = valid[0] if valid is not None else None
+                    pt = self.ptables[node.table.lower()]
+                    cols.append(SCol(data, valid, f.dtype,
+                                     pt.cols[f.name].dictionary))
+                    names.append(f.name)
+                count = next(it)[0]
+                cap = cols[0].arr.shape[0] if cols else 0
+                alive = jnp.arange(cap) < count
+                env[id(node)] = STable(cols, names, alive, cap)
+
+            self._aux_offsets = self._compute_aux_offsets()
+            out = self._exec(plan, env)
+            overflow = jnp.zeros((), jnp.bool_)
+            for f in self._overflow_flags:
+                overflow = overflow | f
+            overflow = jax.lax.pmax(overflow.astype(jnp.int32), "d") > 0
+            count = jnp.sum(out.alive.astype(jnp.int32))
+            # compact alive rows to the front within each shard so the
+            # per-shard count prefix is the real data
+            perm = jnp.argsort((~out.alive).astype(jnp.int32), stable=True)
+            arrs = [c.arr[perm][None] for c in out.cols]
+            valids = [
+                (c.valid[perm] if c.valid is not None
+                 else jnp.ones((out.cap,), jnp.bool_))[None]
+                for c in out.cols
+            ]
+            return arrs, valids, count[None], overflow
+
+        # host wrapper that also fixes out_specs after first trace
+        def run(in_arrays, aux_arrays):
+            self._overflow_flags = []
+            n_out = len(plan.schema)
+            out_specs = ([P("d", None)] * n_out,
+                         [P("d", None) if _has_valid(plan.schema, i) or True
+                          else None for i in range(n_out)],
+                         P("d"), P())
+
+            def wrapped(*args):
+                k = len(in_arrays)
+                flat, aux = list(args[:k]), list(args[k:])
+                arrs, valids, count, overflow = traced(flat, aux)
+                return arrs, valids, count, overflow
+
+            specs_in = tuple(in_specs) + tuple([P()] * len(aux_arrays))
+            sm = jax.shard_map(
+                wrapped, mesh=self.mesh,
+                in_specs=specs_in,
+                out_specs=([P("d", None)] * n_out,
+                           [P("d", None)] * n_out,
+                           P("d"), P()),
+                check_vma=False)
+            fn = jax.jit(sm)
+            arrs, valids, counts, overflow = fn(*in_arrays, *aux_arrays)
+            return arrs, valids, counts, overflow
+
+        return run
+
+    def _compute_aux_offsets(self):
+        offsets = {}
+        pos = 0
+        for key, prep in self._preps.items():
+            offsets[key] = pos
+            pos += len(prep.aux_arrays)
+        return offsets
+
+    def _aux_for(self, key):
+        base = self._aux_offsets[key]
+        prep = self._preps[key]
+        auxl = self._aux_cursor["list"]
+        return [auxl[base + i] for i in range(len(prep.aux_arrays))]
+
+    # ---------- traced operator walk ----------
+
+    def _exec(self, node: L.LogicalPlan, env) -> STable:
+        if id(node) in env:
+            return env[id(node)]
+        if isinstance(node, L.Filter):
+            t = self._exec(node.input, env)
+            vv = self._eval(node.predicate, t, id(node))
+            keep = vv.arr.astype(jnp.bool_)
+            if vv.valid is not None:
+                keep = keep & vv.valid
+            return STable(t.cols, t.names, t.alive & keep, t.cap)
+        if isinstance(node, L.Projection):
+            t = self._exec(node.input, env)
+            prep = self._preps[id(node)]
+            cols = []
+            for e, f in zip(node.exprs, node.schema):
+                vv = self._eval(e, t, id(node))
+                d = prep.out_dict(e) if f.dtype.is_string else None
+                cols.append(SCol(vv.arr.astype(f.dtype.to_jax()), vv.valid,
+                                 f.dtype, d))
+            return STable(cols, [f.name for f in node.schema], t.alive, t.cap)
+        if isinstance(node, L.Aggregate):
+            return self._exec_aggregate(node, env)
+        if isinstance(node, L.Distinct):
+            return self._exec_distinct(node, env)
+        if isinstance(node, L.Join):
+            return self._exec_join(node, env)
+        raise NotSupportedError(f"dist exec: {type(node).__name__}")
+
+    def _eval(self, expr, t: STable, prep_key) -> VV:
+        prep = self._preps[prep_key]
+        ctx = EvalCtx([VV(c.arr, c.valid) for c in t.cols],
+                      self._aux_for(prep_key), prep, nrows_hint=t.cap)
+        return eval_expr(expr, ctx)
+
+    # ----- aggregate -----
+
+    _MERGE = {"count_star": "sum", "count": "sum", "sum": "sum", "min": "min",
+              "max": "max", "any_value": "any_value"}
+
+    def _exec_aggregate(self, node: L.Aggregate, env) -> STable:
+        t = self._exec(node.input, env)
+        prep_key = id(node)
+        gvv = [self._eval(g, t, prep_key) for g in node.group_exprs]
+        has_distinct = any(a.distinct for a in node.aggs)
+
+        if not node.group_exprs:
+            # ungrouped: constant key, same machinery, drop key at the end
+            gvv = [VV(jnp.zeros((t.cap,), jnp.int32), None)]
+
+        if has_distinct:
+            # shuffle raw rows by group key, then one full local aggregate
+            arg_vvs = [self._eval(a.arg, t, prep_key) if a.arg is not None
+                       else None for a in node.aggs]
+            pairs = [(v.arr, v.valid) for v in gvv] + \
+                    [(v.arr, v.valid) for v in arg_vvs if v is not None]
+            key64, _ = join_ops.normalize_keys([v.arr for v in gvv])
+            dest = dest_from_key(key64, self.P)
+            dest_cap = self._dest_cap(t.cap)
+            new_pairs, alive, ovf = shuffle_rows(pairs, t.alive, dest,
+                                                 self.P, dest_cap)
+            self._overflow_flags.append(ovf)
+            it = iter(new_pairs)
+            s_keys = [next(it) for _ in gvv]
+            s_args = []
+            for v in arg_vvs:
+                s_args.append(next(it) if v is not None else None)
+            inputs = [
+                AggInput(a.func, s_args[i][0] if s_args[i] is not None else None,
+                         s_args[i][1] if s_args[i] is not None else None,
+                         a.distinct)
+                for i, a in enumerate(node.aggs)
+            ]
+            out_keys, out_aggs, ngroups = grouped_aggregate(
+                [(k[0], k[1]) for k in s_keys], inputs, alive)
+            new_cap = self.P * dest_cap
+            return self._assemble_agg(node, out_keys, out_aggs, ngroups,
+                                      new_cap)
+
+        # two-phase: local partial → shuffle partials → final merge
+        partial_specs: list[tuple] = []   # (agg_index, func)
+        inputs = []
+        for ai, a in enumerate(node.aggs):
+            vv = self._eval(a.arg, t, prep_key) if a.arg is not None else None
+            if a.func in ("count_star", "count", "sum", "min", "max",
+                          "any_value"):
+                inputs.append(AggInput(a.func, vv.arr if vv else None,
+                                       vv.valid if vv else None, False))
+                partial_specs.append((ai, a.func))
+            elif a.func == "avg":
+                inputs.append(AggInput("sum", vv.arr, vv.valid, False))
+                partial_specs.append((ai, "avg_sum"))
+                inputs.append(AggInput("count", vv.arr, vv.valid, False))
+                partial_specs.append((ai, "avg_cnt"))
+            elif a.func in ("var", "stddev"):
+                arrf = vv.arr.astype(jnp.float64)
+                inputs.append(AggInput("sum", arrf, vv.valid, False))
+                partial_specs.append((ai, "m_sum"))
+                inputs.append(AggInput("sum", arrf * arrf, vv.valid, False))
+                partial_specs.append((ai, "m_sum2"))
+                inputs.append(AggInput("count", vv.arr, vv.valid, False))
+                partial_specs.append((ai, "m_cnt"))
+            else:
+                raise NotSupportedError(
+                    f"distributed aggregate {a.func}()")
+
+        keys = [(v.arr, v.valid) for v in gvv]
+        p_keys, p_aggs, p_n = grouped_aggregate(keys, inputs, t.alive)
+        p_alive = jnp.arange(t.cap) < p_n
+
+        # shuffle partial groups by key hash
+        pairs = [(a, v) for a, v in p_keys] + [(a, v) for a, v in p_aggs]
+        key64, _ = join_ops.normalize_keys([a for a, _ in p_keys])
+        dest = dest_from_key(key64, self.P)
+        dest_cap = self._dest_cap(t.cap)
+        new_pairs, alive, ovf = shuffle_rows(pairs, p_alive, dest, self.P,
+                                             dest_cap)
+        self._overflow_flags.append(ovf)
+        it = iter(new_pairs)
+        s_keys = [next(it) for _ in p_keys]
+        s_partials = [next(it) for _ in p_aggs]
+
+        # final merge
+        merge_inputs = []
+        for (ai, tag), (arr, valid) in zip(partial_specs, s_partials):
+            func = node.aggs[ai].func
+            if tag in ("count_star", "count") or tag in ("avg_cnt", "m_cnt"):
+                merge_inputs.append(AggInput("sum", arr, valid, False))
+            elif tag in ("sum", "avg_sum", "m_sum", "m_sum2"):
+                merge_inputs.append(AggInput("sum", arr, valid, False))
+            elif tag in ("min", "max", "any_value"):
+                merge_inputs.append(AggInput(tag, arr, valid, False))
+            else:
+                merge_inputs.append(AggInput(self._MERGE[func], arr, valid,
+                                             False))
+        out_keys, merged, ngroups = grouped_aggregate(
+            [(k[0], k[1]) for k in s_keys], merge_inputs, alive)
+
+        # recombine composite aggregates
+        out_aggs = []
+        mi = 0
+        for ai, a in enumerate(node.aggs):
+            if a.func == "avg":
+                s, sv = merged[mi]
+                c, _ = merged[mi + 1]
+                mi += 2
+                out_aggs.append((s.astype(jnp.float64)
+                                 / jnp.maximum(c, 1).astype(jnp.float64),
+                                 c > 0))
+            elif a.func in ("var", "stddev"):
+                s, _ = merged[mi]
+                s2, _ = merged[mi + 1]
+                c, _ = merged[mi + 2]
+                mi += 3
+                cf = c.astype(jnp.float64)
+                var = jnp.maximum(
+                    (s2 - s * s / jnp.maximum(cf, 1.0))
+                    / jnp.maximum(cf - 1.0, 1.0), 0.0)
+                out_aggs.append((jnp.sqrt(var) if a.func == "stddev" else var,
+                                 c > 1))
+            elif a.func in ("count_star", "count"):
+                carr, _ = merged[mi]
+                mi += 1
+                out_aggs.append((carr, None))
+            else:
+                arr, valid = merged[mi]
+                mi += 1
+                out_aggs.append((arr, valid))
+        new_cap = self.P * dest_cap
+        return self._assemble_agg(node, out_keys, out_aggs, ngroups, new_cap)
+
+    def _assemble_agg(self, node, out_keys, out_aggs, ngroups, cap) -> STable:
+        prep = self._preps.get(id(node))
+        cols = []
+        names = []
+        if node.group_exprs:
+            for (arr, valid), g, f in zip(out_keys, node.group_exprs,
+                                          node.schema):
+                d = prep.out_dict(g) if (prep and f.dtype.is_string) else None
+                cols.append(SCol(arr.astype(f.dtype.to_jax()), valid,
+                                 f.dtype, d))
+                names.append(f.name)
+            agg_fields = node.schema[len(node.group_exprs):]
+        else:
+            agg_fields = node.schema
+        for (arr, valid), spec, f in zip(out_aggs, node.aggs, agg_fields):
+            cols.append(SCol(arr.astype(spec.out_dtype.to_jax()), valid,
+                             spec.out_dtype, None))
+            names.append(spec.out_name)
+        alive = jnp.arange(cap) < ngroups
+        if not node.group_exprs:
+            # single global group lives on exactly one shard; others empty
+            pass
+        return STable(cols, names, alive, cap)
+
+    def _exec_distinct(self, node: L.Distinct, env) -> STable:
+        t = self._exec(node.input, env)
+        pairs = [(c.arr, c.valid) for c in t.cols]
+        key64, _ = join_ops.normalize_keys([c.arr for c in t.cols])
+        dest = dest_from_key(key64, self.P)
+        dest_cap = self._dest_cap(t.cap)
+        new_pairs, alive, ovf = shuffle_rows(pairs, t.alive, dest, self.P,
+                                             dest_cap)
+        self._overflow_flags.append(ovf)
+        out_keys, _, ngroups = grouped_aggregate(
+            [(a, v) for a, v in new_pairs], [], alive)
+        cap = self.P * dest_cap
+        cols = [SCol(arr.astype(c.dtype.to_jax()), valid, c.dtype,
+                     c.dictionary)
+                for (arr, valid), c in zip(out_keys, t.cols)]
+        return STable(cols, t.names, jnp.arange(cap) < ngroups, cap)
+
+    # ----- join -----
+
+    def _exec_join(self, node: L.Join, env) -> STable:
+        lt = self._exec(node.left, env)
+        rt = self._exec(node.right, env)
+        remaps = self._join_remaps[id(node)]
+
+        l_keys = []
+        for i, e in enumerate(node.left_keys):
+            vv = self._eval(e, lt, id(node))
+            arr = vv.arr
+            if remaps[i] is not None:
+                rm = self._aux_for(id(node))[remaps[i][0]]
+                arr = rm[jnp.clip(arr, 0, rm.shape[0] - 1)]
+            l_keys.append((arr, vv.valid))
+        r_keys = []
+        for i, e in enumerate(node.right_keys):
+            vv = self._eval(e, rt, id(node) + 1)
+            arr = vv.arr
+            if remaps[i] is not None:
+                rm = self._aux_for(id(node) + 1)[remaps[i][1]]
+                arr = rm[jnp.clip(arr, 0, rm.shape[0] - 1)]
+            r_keys.append((arr, vv.valid))
+
+        broadcast = (rt.cap * self.P <= self.broadcast_rows
+                     and node.kind in (JoinKind.INNER, JoinKind.LEFT))
+
+        if broadcast:
+            # all_gather the build side; probe side stays put (config #3)
+            def gat(x):
+                return jax.lax.all_gather(x, "d", tiled=True)
+            r_cols = [SCol(gat(c.arr),
+                           gat(c.valid) if c.valid is not None else None,
+                           c.dtype, c.dictionary) for c in rt.cols]
+            r_alive = gat(rt.alive)
+            rk = [(gat(a), gat(v) if v is not None else None)
+                  for a, v in r_keys]
+            return self._local_join(node, lt, l_keys,
+                                    STable(r_cols, rt.names, r_alive,
+                                           rt.cap * self.P), rk)
+
+        # shuffle both sides by key hash
+        lkey64, _ = join_ops.normalize_keys([a for a, _ in l_keys])
+        rkey64, _ = join_ops.normalize_keys([a for a, _ in r_keys])
+
+        def do_shuffle(t, keys, key64):
+            pairs = [(c.arr, c.valid) for c in t.cols] + \
+                    [(a, v) for a, v in keys]
+            dest = dest_from_key(key64, self.P)
+            dest_cap = self._dest_cap(t.cap)
+            new_pairs, alive, ovf = shuffle_rows(pairs, t.alive, dest,
+                                                 self.P, dest_cap)
+            self._overflow_flags.append(ovf)
+            nc = len(t.cols)
+            new_cols = [SCol(arr, valid, c.dtype, c.dictionary)
+                        for (arr, valid), c in zip(new_pairs[:nc], t.cols)]
+            new_keys = new_pairs[nc:]
+            return (STable(new_cols, t.names, alive, self.P * dest_cap),
+                    [(a, v) for a, v in new_keys])
+
+        lt2, lk2 = do_shuffle(lt, l_keys, lkey64)
+        rt2, rk2 = do_shuffle(rt, r_keys, rkey64)
+        return self._local_join(node, lt2, lk2, rt2, rk2)
+
+    def _local_join(self, node, lt: STable, l_keys, rt: STable, r_keys):
+        kind = node.kind
+        lkey, exact = join_ops.normalize_keys([a for a, _ in l_keys])
+        rkey, _ = join_ops.normalize_keys([a for a, _ in r_keys])
+        lj = lt.alive
+        for _, v in l_keys:
+            if v is not None:
+                lj = lj & v
+        rj = rt.alive
+        for _, v in r_keys:
+            if v is not None:
+                rj = rj & v
+
+        sk, perm_b, njb = join_ops.build_side(rkey, rj)
+        start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
+        inner_cap = pad_count(lt.cap * self.join_factor)
+        probe_row, build_pos, slot_valid = join_ops.expand_matches(
+            start, counts, inner_cap)
+        total = jnp.sum(counts.astype(jnp.int64))
+        self._overflow_flags.append(total > inner_cap)
+        bpos = perm_b[jnp.clip(build_pos, 0, perm_b.shape[0] - 1)]
+        if not exact:
+            ok = None
+            for (la, _), (ra, _) in zip(l_keys, r_keys):
+                eq = la[probe_row] == ra[bpos]
+                ok = eq if ok is None else (ok & eq)
+            slot_valid = slot_valid & ok
+
+        segments = []
+        seg_masks = [slot_valid]
+
+        def gather_cols(cols, idx):
+            return [(c.arr[idx], None if c.valid is None else c.valid[idx])
+                    for c in cols]
+
+        segments.append((gather_cols(lt.cols, probe_row),
+                         gather_cols(rt.cols, bpos)))
+        if kind in (JoinKind.LEFT, JoinKind.FULL):
+            seg_masks.append(lt.alive & (counts == 0))
+            segments.append((
+                [(c.arr, c.valid) for c in lt.cols],
+                [(jnp.zeros((lt.cap,), c.arr.dtype),
+                  jnp.zeros((lt.cap,), jnp.bool_)) for c in rt.cols]))
+        if kind in (JoinKind.RIGHT, JoinKind.FULL):
+            unmatched_j = join_ops.unmatched_build_mask(sk, njb, perm_b,
+                                                        lkey, lj)
+            seg_masks.append((rt.alive & ~rj) | unmatched_j)
+            segments.append((
+                [(jnp.zeros((rt.cap,), c.arr.dtype),
+                  jnp.zeros((rt.cap,), jnp.bool_)) for c in lt.cols],
+                [(c.arr, c.valid) for c in rt.cols]))
+
+        ncl = len(lt.cols)
+        out_cols = []
+        src = list(lt.cols) + list(rt.cols)
+        for ci in range(len(src)):
+            arrs, valids = [], []
+            for (seg_l, seg_r), smask in zip(segments, seg_masks):
+                a, v = seg_l[ci] if ci < ncl else seg_r[ci - ncl]
+                arrs.append(a)
+                valids.append(v)
+            arr = jnp.concatenate(arrs)
+            if any(v is not None for v in valids):
+                valid = jnp.concatenate([
+                    v if v is not None else jnp.ones(a.shape, jnp.bool_)
+                    for v, a in zip(valids, arrs)])
+            else:
+                valid = None
+            c = src[ci]
+            if kind is JoinKind.LEFT and ci >= ncl:
+                matched = counts > 0
+                # expansion rows are matched by construction; only the
+                # probe-unmatched segment carries nulls (validity above)
+            out_cols.append(SCol(arr, valid, c.dtype, c.dictionary))
+        alive = jnp.concatenate(seg_masks)
+        names = [f.name for f in node.schema]
+        out = STable(out_cols, names, alive, alive.shape[0])
+
+        if node.residual is not None:
+            vv_prep_key = id(node) + 2
+            vv = self._eval(node.residual, out, vv_prep_key)
+            keep = vv.arr.astype(jnp.bool_)
+            if vv.valid is not None:
+                keep = keep & vv.valid
+            out = STable(out.cols, out.names, out.alive & keep, out.cap)
+        return out
+
+    def _dest_cap(self, cap: int) -> int:
+        per = -(-cap // self.P) * self.shuffle_factor
+        return max(128, -(-per // 128) * 128)
+
+
+class _OverflowRetry(Exception):
+    pass
+
+
+def _unique(names):
+    seen = set()
+    out = []
+    for n in names:
+        base = n
+        while n in seen:
+            n = "right_" + n
+        seen.add(n)
+        out.append(n)
+    return out
+
+
+def _has_valid(schema, i):
+    return True

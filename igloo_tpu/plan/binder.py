@@ -167,8 +167,10 @@ class Binder:
             self._contains_agg(e) for e, _ in items
         ) or (sel.having is not None and self._contains_agg(sel.having)) or bool(sel.group_by)
 
+        agg_rebind = None
         if has_aggs:
-            plan, scope, items, having = self._bind_aggregate(sel, plan, scope, items)
+            plan, scope, items, having, agg_rebind = self._bind_aggregate(
+                sel, plan, scope, items)
         else:
             having = None
             if sel.having is not None:
@@ -190,7 +192,8 @@ class Binder:
         if sel.order_by:
             out_scope = Scope(list(out_fields))
             for o in sel.order_by:
-                key_expr = self._resolve_order_expr(o.expr, items, out_scope, scope)
+                key_expr = self._resolve_order_expr(o.expr, items, out_scope,
+                                                    scope, agg_rebind)
                 if isinstance(key_expr, int):        # index into projection output
                     bexpr = proj_exprs[key_expr]
                     pos = key_expr
@@ -294,17 +297,21 @@ class Binder:
         # Rebind select/having/order expressions over the aggregate output:
         # occurrences of a group expr AST → BColumn(i); agg call → BColumn(g+j).
         ng = len(group_bound)
+        agg_scope = _AggScope(list(agg_schema))
 
-        def rebind(e: ast.Expr) -> BExpr:
+        def rewrite(e: ast.Expr) -> ast.Expr:
             for i, g_ast in enumerate(group_asts):
                 if e == g_ast:
                     f = agg_schema[i]
-                    return BColumn(f.dtype, f.nullable, i, f.name)
+                    return _PreBound(BColumn(f.dtype, f.nullable, i, f.name))
             if isinstance(e, ast.FunctionCall) and self._is_agg(e):
                 j = agg_calls.index(e)
                 f = agg_schema[ng + j]
-                return BColumn(f.dtype, f.nullable, ng + j, f.name)
-            return self._bind_composite(e, rebind)
+                return _PreBound(BColumn(f.dtype, f.nullable, ng + j, f.name))
+            return _rebuild_ast(e, [rewrite(c) for c in _ast_children(e)])
+
+        def rebind(e: ast.Expr) -> BExpr:
+            return self.bind_expr(rewrite(e), agg_scope)
 
         new_items = []
         for e, name in items:
@@ -312,9 +319,7 @@ class Binder:
         having = rebind(sel.having) if sel.having is not None else None
 
         new_scope = Scope(list(agg_schema))
-        # order_by handled by caller through _resolve_order_expr with new scope
-        self._agg_rebind = rebind
-        return plan, new_scope, new_items, having
+        return plan, new_scope, new_items, having, rebind
 
     def _bind_agg_call(self, fc: ast.FunctionCall, scope: Scope, out_name: str) -> AggSpec:
         name = fc.name
@@ -368,7 +373,8 @@ class Binder:
 
     # ---- ORDER BY resolution ----
 
-    def _resolve_order_expr(self, e: ast.Expr, items, out_scope: Scope, in_scope: Scope):
+    def _resolve_order_expr(self, e: ast.Expr, items, out_scope: Scope,
+                            in_scope: Scope, agg_rebind=None):
         """Return either an int (projection output ordinal) or a BExpr over in_scope."""
         if isinstance(e, ast.Literal) and isinstance(e.value, int):
             idx = e.value - 1
@@ -386,8 +392,8 @@ class Binder:
             if e == item_e:
                 return i
         # else bind over the input scope (pre-projection columns)
-        if hasattr(self, "_agg_rebind") and self._agg_rebind is not None:
-            return self._agg_rebind(e)
+        if agg_rebind is not None:
+            return agg_rebind(e)
         return self.bind_expr(e, in_scope)
 
     def _bind_order_item(self, o: ast.OrderItem, scope: Scope, _) -> SortKey:
@@ -658,56 +664,51 @@ class Binder:
             return BScalarFunc(ret, nullable, name, args)
         return BStringFunc(ret, nullable, name, args, udf=fn.host_fn)
 
-    def _bind_composite(self, e: ast.Expr, rebind) -> BExpr:
-        """Rebind a composite AST node whose leaves go through `rebind`."""
-        scope = _RebindScope(rebind)
-        return _CompositeBinder(self, scope).bind(e)
-
-
 class _PreBound(ast.Expr):
     """Wrapper carrying an already-bound expression through item lists."""
     def __init__(self, bound: BExpr):
         self.bound = bound
 
 
-class _RebindScope:
-    def __init__(self, rebind):
-        self.rebind = rebind
-
-
-class _CompositeBinder:
-    """Binds an AST whose column refs / agg calls are resolved by a rebind fn."""
-
-    def __init__(self, binder: Binder, scope: _RebindScope):
-        self.binder = binder
-        self.scope = scope
-
-    def bind(self, e: ast.Expr) -> BExpr:
-        rebound = self.scope.rebind
-        # leaves that the rebind function handles directly
-        if isinstance(e, (ast.ColumnRef, ast.FunctionCall)) and (
-                isinstance(e, ast.FunctionCall) and self.binder._is_agg(e)
-                or isinstance(e, ast.ColumnRef)):
-            out = rebound(e)
-            if isinstance(out, BExpr):
-                return out
-        shim = _ShimScope(self, rebound)
-        return self.binder.bind_expr(e, shim)
-
-
-class _ShimScope(Scope):
-    """Scope that defers to an agg-rebind function for column resolution."""
-
-    def __init__(self, comp: _CompositeBinder, rebind):
-        super().__init__([])
-        self._rebind = rebind
+class _AggScope(Scope):
+    """Post-aggregate scope: bare columns must come from GROUP BY/aggs,
+    which the AST rewrite already replaced with _PreBound nodes."""
 
     def resolve(self, name, table):
-        out = self._rebind(ast.ColumnRef(name, table))
-        if isinstance(out, BColumn):
-            self.fields = [Field(out.name, out.dtype, out.nullable)] * (out.index + 1)
-            return out.index
-        raise BindError(f"column {name!r} must appear in GROUP BY or an aggregate")
+        raise BindError(
+            f"column {name!r} must appear in GROUP BY or inside an aggregate")
+
+
+def _rebuild_ast(e: ast.Expr, children: list) -> ast.Expr:
+    """Reconstruct an AST node with new children (order = _ast_children)."""
+    if not children and not _ast_children(e):
+        return e
+    it = iter(children)
+    if isinstance(e, ast.BinaryOp):
+        return ast.BinaryOp(e.op, next(it), next(it))
+    if isinstance(e, ast.UnaryOp):
+        return ast.UnaryOp(e.op, next(it))
+    if isinstance(e, ast.IsNull):
+        return ast.IsNull(next(it), e.negated)
+    if isinstance(e, ast.IsDistinctFrom):
+        return ast.IsDistinctFrom(next(it), next(it), e.negated)
+    if isinstance(e, ast.Between):
+        return ast.Between(next(it), next(it), next(it), e.negated)
+    if isinstance(e, ast.InList):
+        op = next(it)
+        return ast.InList(op, tuple(it), e.negated)
+    if isinstance(e, ast.Like):
+        return ast.Like(next(it), next(it), e.negated, e.case_insensitive)
+    if isinstance(e, ast.FunctionCall):
+        return ast.FunctionCall(e.name, tuple(it), e.distinct)
+    if isinstance(e, ast.Cast):
+        return ast.Cast(next(it), e.type_name, e.safe)
+    if isinstance(e, ast.Case):
+        operand = next(it) if e.operand is not None else None
+        whens = tuple((next(it), next(it)) for _ in e.whens)
+        else_ = next(it) if e.else_ is not None else None
+        return ast.Case(operand, whens, else_)
+    return e
 
 
 def _split_and(e: ast.Expr) -> list[ast.Expr]:

@@ -7,7 +7,6 @@ same SPMD programs that run on a real multi-host TPU slice.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +14,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 import pyarrow as pa  # noqa: E402
+import jax  # noqa: E402
+
+# Force the CPU backend: the env-var route (JAX_PLATFORMS) is overridden
+# by site customization in some environments, but the config knob wins.
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache makes repeated test runs fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/igloo_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
 @pytest.fixture()
