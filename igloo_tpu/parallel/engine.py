@@ -30,7 +30,8 @@ class DistributedQueryEngine(QueryEngine):
     def __init__(self, mesh=None, config: Optional[EngineConfig] = None,
                  **kwargs):
         config = config or EngineConfig(distributed=True)
-        super().__init__(result_cache=config.result_cache, **kwargs)
+        kwargs.setdefault("result_cache", config.result_cache)
+        super().__init__(**kwargs)
         self.config = config
         self.mesh = mesh or make_mesh(config.mesh_shape, config.mesh_axes)
         self._ptables: dict[str, PartitionedTable] = {}

@@ -1,0 +1,80 @@
+"""API edge tests: Arrow Flight SQL + gRPC cluster control plane.
+
+≙ reference surface: IglooFlightSqlService (api/src/lib.rs) and
+CoordinatorService register/heartbeat (coordinator/src/service.rs).
+"""
+
+import time
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def flight_pair(engine):
+    from igloo_tpu.api.flight import IglooFlightClient, serve_background
+    engine.register_table("t", pa.table({
+        "x": [1, 2, 3, 4], "s": ["a", "b", "a", "c"]}))
+    server, port = serve_background(engine, port=0)
+    client = IglooFlightClient(port=port)
+    yield engine, client
+    client.close()
+    server.shutdown()
+
+
+def test_flight_execute(flight_pair):
+    _, client = flight_pair
+    out = client.execute("SELECT s, sum(x) AS sx FROM t GROUP BY s ORDER BY s")
+    assert out.column("s").to_pylist() == ["a", "b", "c"]
+    assert out.column("sx").to_pylist() == [4, 2, 4]
+
+
+def test_flight_metadata(flight_pair):
+    _, client = flight_pair
+    assert client.tables() == ["t"]
+    assert "Scan" in client.explain("SELECT x FROM t")
+
+
+def test_cluster_register_heartbeat():
+    from igloo_tpu.api import cluster_pb2 as pb
+    from igloo_tpu.parallel.cluster import (CoordinatorClient,
+                                            CoordinatorServer, WorkerAgent)
+
+    coord = CoordinatorServer().start()
+    try:
+        agent = WorkerAgent(f"127.0.0.1:{coord.port}",
+                            address="127.0.0.1:50052",
+                            num_devices=4, device_kind="TPU v5e").start()
+        try:
+            assert agent.process_index == 0
+            client = CoordinatorClient(f"127.0.0.1:{coord.port}")
+            info = client.get_cluster_info(pb.Empty())
+            assert len(info.workers) == 1
+            assert info.workers[0].num_devices == 4
+            # heartbeat refreshes liveness
+            assert coord.state.heartbeat(agent.worker_id)
+            # unknown workers get ok=false (reference service.rs:37-50)
+            ack = client.send_heartbeat(pb.Heartbeat(worker_id="ghost"))
+            assert not ack.ok
+            assert len(coord.state.live_workers()) == 1
+            client.close()
+        finally:
+            agent.stop()
+    finally:
+        coord.stop()
+
+
+def test_cluster_query_dispatch(engine):
+    from igloo_tpu.parallel.cluster import CoordinatorClient, CoordinatorServer
+
+    engine.register_table("nums", pa.table({"n": [1, 2, 3]}))
+    coord = CoordinatorServer(engine=engine).start()
+    try:
+        client = CoordinatorClient(f"127.0.0.1:{coord.port}")
+        out = client.execute("SELECT sum(n) AS s FROM nums")
+        assert out.column("s").to_pylist() == [6]
+        with pytest.raises(RuntimeError, match="not found"):
+            client.execute("SELECT * FROM missing_table")
+        client.close()
+    finally:
+        coord.stop()
