@@ -18,7 +18,126 @@ from . import logical as L
 def optimize(plan: L.LogicalPlan) -> L.LogicalPlan:
     plan = _rewrite(plan, _fuse_limit_sort)
     plan = _rewrite(plan, _merge_filters)
+    plan, _ = _prune_columns(plan, set(range(len(plan.schema))))
     return plan
+
+
+# ---------------------------------------------------------------------------
+# column pruning: drop unreferenced columns from scans (and narrow
+# intermediate schemas), rewriting column indices along the way.
+# DataFusion does this for the reference; here it is rule one because every
+# dropped column is an HBM array never touched.
+# ---------------------------------------------------------------------------
+
+def _remap_expr(e: L.BExpr, mapping: dict) -> L.BExpr:
+    def fn(n):
+        if isinstance(n, L.BColumn):
+            return dataclasses.replace(n, index=mapping[n.index])
+        return n
+    return L.rewrite_expr(e, fn)
+
+
+def _prune_columns(node: L.LogicalPlan, needed: set):
+    """Returns (new_node, mapping old_output_idx -> new_output_idx)."""
+    if isinstance(node, L.Scan):
+        keep = sorted(needed) if needed else list(range(min(1, len(node.schema))))
+        if not keep:                       # keep one column for row counts
+            keep = [0] if node.schema else []
+        node.schema = tuple(node.schema[i] for i in keep)
+        return node, {old: new for new, old in enumerate(keep)}
+
+    if isinstance(node, L.Values):
+        return node, {i: i for i in range(len(node.schema))}
+
+    if isinstance(node, L.Projection):
+        keep = sorted(needed)
+        child_needed = set()
+        for i in keep:
+            child_needed |= L.referenced_columns(node.exprs[i])
+        node.input, cmap = _prune_columns(node.input, child_needed)
+        node.exprs = tuple(_remap_expr(node.exprs[i], cmap) for i in keep)
+        node.schema = tuple(node.schema[i] for i in keep)
+        return node, {old: new for new, old in enumerate(keep)}
+
+    if isinstance(node, L.Filter):
+        child_needed = set(needed) | L.referenced_columns(node.predicate)
+        node.input, cmap = _prune_columns(node.input, child_needed)
+        node.predicate = _remap_expr(node.predicate, cmap)
+        return node, dict(cmap)
+
+    if isinstance(node, L.Sort):
+        child_needed = set(needed)
+        for k in node.keys:
+            child_needed |= L.referenced_columns(k.expr)
+        node.input, cmap = _prune_columns(node.input, child_needed)
+        node.keys = tuple(
+            dataclasses.replace(k, expr=_remap_expr(k.expr, cmap))
+            for k in node.keys)
+        return node, dict(cmap)
+
+    if isinstance(node, (L.Limit, L.Distinct)):
+        # Distinct groups on ALL columns — its output schema is its input
+        if isinstance(node, L.Distinct):
+            needed = set(range(len(node.input.schema)))
+        node.input, cmap = _prune_columns(node.input, set(needed))
+        return node, dict(cmap)
+
+    if isinstance(node, L.Aggregate):
+        child_needed = set()
+        for g in node.group_exprs:
+            child_needed |= L.referenced_columns(g)
+        for a in node.aggs:
+            if a.arg is not None:
+                child_needed |= L.referenced_columns(a.arg)
+        node.input, cmap = _prune_columns(node.input, child_needed)
+        node.group_exprs = tuple(_remap_expr(g, cmap) for g in node.group_exprs)
+        node.aggs = tuple(
+            dataclasses.replace(a, arg=_remap_expr(a.arg, cmap))
+            if a.arg is not None else a
+            for a in node.aggs)
+        return node, {i: i for i in range(len(node.schema))}
+
+    if isinstance(node, L.Join):
+        nl = len(node.left.schema)
+        left_needed, right_needed = set(), set()
+        for i in needed:
+            (left_needed if i < nl else right_needed).add(i if i < nl else i - nl)
+        for e in node.left_keys:
+            left_needed |= L.referenced_columns(e)
+        for e in node.right_keys:
+            right_needed |= L.referenced_columns(e)
+        if node.residual is not None:
+            for i in L.referenced_columns(node.residual):
+                (left_needed if i < nl else right_needed).add(
+                    i if i < nl else i - nl)
+        node.left, lmap = _prune_columns(node.left, left_needed)
+        node.right, rmap = _prune_columns(node.right, right_needed)
+        new_nl = len(node.left.schema)
+        node.left_keys = tuple(_remap_expr(e, lmap) for e in node.left_keys)
+        node.right_keys = tuple(_remap_expr(e, rmap) for e in node.right_keys)
+        # joined-schema mapping: left cols keep lmap; right shift by new_nl
+        jmap = {}
+        for old, new in lmap.items():
+            jmap[old] = new
+        for old, new in rmap.items():
+            jmap[old + nl] = new + new_nl
+        if node.residual is not None:
+            node.residual = _remap_expr(node.residual, jmap)
+        node.schema = tuple(
+            node.schema[i] for i in sorted(jmap, key=lambda o: jmap[o]))
+        return node, jmap
+
+    if isinstance(node, L.Union):
+        all_needed = set(range(len(node.schema)))
+        new_inputs = []
+        for c in node.inputs:
+            nc, _ = _prune_columns(c, set(range(len(c.schema))))
+            new_inputs.append(nc)
+        node.inputs = tuple(new_inputs)
+        return node, {i: i for i in all_needed}
+
+    # unknown node: conservatively keep everything
+    return node, {i: i for i in range(len(node.schema))}
 
 
 def _rewrite(plan: L.LogicalPlan, rule):
