@@ -43,6 +43,7 @@ class RCol:
     valid: Optional[jax.Array]
     dtype: SqlType
     dictionary: Optional[np.ndarray] = None
+    stats: Optional[tuple] = None       # (min, max) for integer columns
 
 
 @dataclasses.dataclass
@@ -125,7 +126,8 @@ class Executor:
             c = t.columns.get(f.name)
             if c is None:
                 raise ExecutionError(f"column {f.name!r} missing in table {node.table!r}")
-            cols.append(RCol(c.data, c.validity, c.dtype, c.dictionary))
+            cols.append(RCol(c.data, c.validity, c.dtype, c.dictionary,
+                             getattr(c, 'stats', None)))
             names.append(f.name)
         mask = None
         if t.nrows < t.capacity:
@@ -231,7 +233,10 @@ class Executor:
         for (arr, valid), e, f in zip(out, node.exprs, node.schema):
             d = prep.out_dict(e) if f.dtype.is_string else None
             arr = _cast_physical(arr, f.dtype)
-            cols.append(RCol(arr, valid, f.dtype, d))
+            stats = None
+            if isinstance(e, L.BColumn):
+                stats = rt.cols[e.index].stats
+            cols.append(RCol(arr, valid, f.dtype, d, stats))
         return RTable(cols, [f.name for f in node.schema], rt.mask, rt.capacity)
 
     def _run_filter(self, node: L.Filter) -> RTable:
@@ -328,6 +333,7 @@ class Executor:
 
         # grouped
         prep_exprs = group_exprs + [a.arg for a in agg_specs if a.arg is not None]
+        max_groups = _group_bound(rt, group_exprs)
 
         def body(ctx, vvs, mask):
             gvv = vvs[:len(group_exprs)]
@@ -340,8 +346,9 @@ class Executor:
                     v = next(it)
                     inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct))
             keys = [(v.arr, v.valid) for v in gvv]
-            out_keys, out_aggs, ngroups = grouped_aggregate(keys, inputs, mask)
-            new_mask = jnp.arange(rt.capacity) < ngroups
+            out_keys, out_aggs, ngroups = grouped_aggregate(
+                keys, inputs, mask, max_groups=max_groups)
+            new_mask = jnp.arange(max_groups) < ngroups
             return out_keys, out_aggs, new_mask
 
         (out_keys, out_aggs, new_mask), prep = self._eval_program(
@@ -358,14 +365,17 @@ class Executor:
             cols.append(RCol(_cast_physical(arr, spec.out_dtype), valid,
                              spec.out_dtype, None))
             names.append(spec.out_name)
-        return RTable(cols, names, new_mask, rt.capacity)
+        return RTable(cols, names, new_mask, max_groups)
 
     def _aggregate_impl(self, rt, group_exprs, agg_specs, names, dtypes, dicts):
         """Distinct via grouping on all columns."""
+        max_groups = _group_bound(rt, group_exprs)
+
         def body(ctx, vvs, mask):
             keys = [(v.arr, v.valid) for v in vvs]
-            out_keys, _, ngroups = grouped_aggregate(keys, [], mask)
-            new_mask = jnp.arange(rt.capacity) < ngroups
+            out_keys, _, ngroups = grouped_aggregate(
+                keys, [], mask, max_groups=max_groups)
+            new_mask = jnp.arange(max_groups) < ngroups
             return out_keys, new_mask
 
         (out_keys, new_mask), _ = self._eval_program(
@@ -374,7 +384,7 @@ class Executor:
             RCol(_cast_physical(arr, dt), valid, dt, d)
             for (arr, valid), dt, d in zip(out_keys, dtypes, dicts)
         ]
-        return RTable(cols, list(names), new_mask, rt.capacity)
+        return RTable(cols, list(names), new_mask, max_groups)
 
     # ================= union =================
 
@@ -435,6 +445,34 @@ def _cast_physical(arr, dtype: SqlType):
     if arr.dtype != np.dtype(want) and arr.dtype != want:
         return arr.astype(want)
     return arr
+
+
+def _group_bound(rt: RTable, group_exprs) -> int:
+    """Static upper bound on the number of groups: dictionary sizes for
+    string keys, (max-min+1) from ingest stats for integer keys. Falls
+    back to the row capacity when unknown. +1 per nullable key (the null
+    group)."""
+    from ..table import pad_count
+    bound = 1
+    for g in group_exprs:
+        col_bound = None
+        if isinstance(g, L.BColumn) and g.index < len(rt.cols):
+            c = rt.cols[g.index]
+            if c.dictionary is not None:
+                col_bound = len(c.dictionary) + 1
+            elif c.stats is not None:
+                lo, hi = c.stats
+                span = hi - lo + 1
+                if 0 < span <= (1 << 22):
+                    col_bound = span + 1
+        elif getattr(g, "dtype", None) is SqlType.BOOL:
+            col_bound = 3
+        if col_bound is None:
+            return rt.capacity
+        bound *= col_bound
+        if bound >= rt.capacity:
+            return rt.capacity
+    return min(pad_count(bound), rt.capacity)
 
 
 def _cols_sig(cols: list[RCol]):

@@ -1,19 +1,24 @@
-"""Hash-aggregate equivalent: sort-based grouped aggregation.
+"""Hash-aggregate equivalent: sort-based grouped aggregation, scatter-free.
 
 The reference gets GROUP BY from DataFusion's row-hash aggregate (SURVEY
-§2.1 "Operators NOT custom-implemented"); BASELINE.json elevates it to a
-first-class benchmark operator. A row-at-a-time hash table is the wrong
-shape for a TPU, so grouping here is: one `lax.sort` by group key →
-boundary flags → dense segment ids → XLA segment reductions. Nulls form
-their own group (SQL GROUP BY semantics); masked-out rows sort last and
-contribute nothing.
+§2.1); BASELINE.json elevates it to a first-class benchmark operator. A
+row-at-a-time hash table is the wrong shape for a TPU — and so is XLA
+scatter (segment_sum serializes). Grouping here uses only TPU-fast
+primitives:
 
-All outputs are capacity-sized dense buffers whose first `ngroups` rows
-are real — the caller's selection-mask model handles the rest.
+  1. one `lax.sort` by group key (tiled bitonic network),
+  2. boundary flags → dense segment ids via cumsum,
+  3. per-group reductions via SEGMENTED ASSOCIATIVE SCANS
+     (`lax.associative_scan` with a (value, segment) combiner — log n
+     fully-vectorized passes, deterministic left-to-right order),
+  4. group start/end positions via `searchsorted` on the sorted segment
+     ids (vectorized binary search — no scatter),
+  5. results gathered at segment ends.
 
-A Pallas one-hot/MXU kernel for low-cardinality keys lives in
-ops/pallas/groupby_mxu.py and is selected by the physical planner when
-the key dictionary is small (see benchmark config #2).
+Output buffers are `max_groups`-sized (a static hint from column stats:
+dictionary size for strings, value range for ints — falling back to the
+row capacity). Nulls form their own group; masked-out rows sort last and
+contribute identity elements only.
 """
 
 from __future__ import annotations
@@ -41,11 +46,27 @@ def _null_rank(valid):
     return jnp.where(valid, 0, 1).astype(jnp.int32)
 
 
+def _seg_scan(op, vals: jax.Array, seg: jax.Array) -> jax.Array:
+    """Inclusive segmented scan: per-segment running `op` reduction."""
+    def combine(a, b):
+        va, sa = a
+        vb, sb = b
+        return jnp.where(sb == sa, op(va, vb), vb), sb
+    out, _ = jax.lax.associative_scan(combine, (vals, seg))
+    return out
+
+
 def grouped_aggregate(keys: list[tuple[jax.Array, Optional[jax.Array]]],
                       aggs: list[AggInput],
-                      alive: Optional[jax.Array]):
-    """Returns (out_keys [(arr, valid)], out_aggs [(arr, valid)], ngroups)."""
+                      alive: Optional[jax.Array],
+                      max_groups: Optional[int] = None):
+    """Returns (out_keys [(arr, valid)], out_aggs [(arr, valid)], ngroups).
+
+    Output arrays have length max_groups (default: input capacity); the
+    first `ngroups` rows are real.
+    """
     n = keys[0][0].shape[0] if keys else aggs[0].arr.shape[0]
+    G = max_groups if max_groups is not None else n
     iota = jnp.arange(n, dtype=jnp.int32)
 
     # ---- 1. sort rows by (alive, group keys [, distinct value]) ----
@@ -78,7 +99,7 @@ def grouped_aggregate(keys: list[tuple[jax.Array, Optional[jax.Array]]],
     s_alive = alive[perm] if alive is not None else jnp.ones((n,), jnp.bool_)
     s_keys = [(g(arr), g(valid)) for arr, valid in keys]
 
-    # ---- 2. group boundaries over sorted alive rows ----
+    # ---- 2. group boundaries + dense segment ids (sorted order) ----
     first = iota == 0
     differs = jnp.zeros((n,), jnp.bool_)
     for arr, valid in s_keys:
@@ -91,14 +112,21 @@ def grouped_aggregate(keys: list[tuple[jax.Array, Optional[jax.Array]]],
     prev_alive = jnp.roll(s_alive, 1)
     boundary = s_alive & (first | differs | ~prev_alive)
     seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    seg = jnp.where(s_alive, seg, n - 1)          # dead rows → sentinel segment
-    seg = jnp.clip(seg, 0, n - 1)
+    seg = jnp.where(s_alive, jnp.clip(seg, 0, G - 1), G)  # dead → past last
     ngroups = jnp.sum(boundary.astype(jnp.int32))
+
+    # ---- 3. group extents via vectorized binary search ----
+    gids = jnp.arange(G, dtype=jnp.int32)
+    starts = jnp.searchsorted(seg, gids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(seg, gids, side="right").astype(jnp.int32)
+    starts_c = jnp.clip(starts, 0, n - 1)
+    last = jnp.clip(ends - 1, 0, n - 1)
 
     # distinct-value boundaries within a group
     if distinct_col is not None:
         darr, dvalid = distinct_col
-        sd, sdv = darr[perm], (dvalid[perm] if dvalid is not None else None)
+        sd = darr[perm]
+        sdv = dvalid[perm] if dvalid is not None else None
         dprev = jnp.roll(sd, 1)
         dnew = (sd != dprev) | boundary
         if sdv is not None:
@@ -108,83 +136,100 @@ def grouped_aggregate(keys: list[tuple[jax.Array, Optional[jax.Array]]],
     else:
         distinct_new = None
 
-    # ---- 3. per-group first-row index (for key output / any_value) ----
-    firstrow = jax.ops.segment_min(jnp.where(s_alive, iota, n - 1), seg,
-                                   num_segments=n)
-    firstrow = jnp.clip(firstrow, 0, n - 1)
-
+    # ---- 4. output keys (value at group start) ----
     out_keys = []
     for arr, valid in s_keys:
-        karr = arr[firstrow]
-        kvalid = valid[firstrow] if valid is not None else None
+        karr = arr[starts_c]
+        kvalid = valid[starts_c] if valid is not None else None
         out_keys.append((karr, kvalid))
 
-    # ---- 4. aggregates ----
-    out_aggs = []
-    for a in aggs:
-        out_aggs.append(_compute_agg(a, perm, seg, s_alive, distinct_new,
-                                     firstrow, n))
+    # ---- 5. aggregates via segmented scans, read at segment ends ----
+    ctx = _SegCtx(perm, seg, s_alive, distinct_new, starts_c, last, ends,
+                  starts, n)
+    out_aggs = [_compute_agg(a, ctx) for a in aggs]
     return out_keys, out_aggs, ngroups
 
 
-def _compute_agg(a: AggInput, perm, seg, s_alive, distinct_new, firstrow, n):
+@dataclasses.dataclass
+class _SegCtx:
+    perm: jax.Array
+    seg: jax.Array
+    s_alive: jax.Array
+    distinct_new: Optional[jax.Array]
+    starts_c: jax.Array
+    last: jax.Array
+    ends: jax.Array
+    starts: jax.Array
+    n: int
+
+
+def _seg_reduce_sum(vals, ctx: _SegCtx):
+    scanned = _seg_scan(jnp.add, vals, ctx.seg)
+    return scanned[ctx.last]
+
+
+def _compute_agg(a: AggInput, ctx: _SegCtx):
+    nonempty_rows = ctx.ends > ctx.starts
+
     if a.func == "count_star":
-        cnt = jax.ops.segment_sum(s_alive.astype(_INT_ACC), seg, num_segments=n)
-        return cnt, None
+        cnt = _seg_reduce_sum(ctx.s_alive.astype(_INT_ACC), ctx)
+        return jnp.where(nonempty_rows, cnt, 0), None
 
-    arr = a.arr[perm]
-    valid = a.valid[perm] if a.valid is not None else jnp.ones((n,), jnp.bool_)
-    w = s_alive & valid
-    if a.distinct and distinct_new is not None:
-        w = w & distinct_new
-
-    if a.func == "count":
-        cnt = jax.ops.segment_sum(w.astype(_INT_ACC), seg, num_segments=n)
-        return cnt, None
+    arr = a.arr[ctx.perm]
+    valid = (a.valid[ctx.perm] if a.valid is not None
+             else jnp.ones((ctx.n,), jnp.bool_))
+    w = ctx.s_alive & valid
+    if a.distinct and ctx.distinct_new is not None:
+        w = w & ctx.distinct_new
 
     is_float = jnp.issubdtype(arr.dtype, jnp.floating)
     acc_t = _FLT_ACC if is_float else _INT_ACC
-    cnt = jax.ops.segment_sum(w.astype(_INT_ACC), seg, num_segments=n)
+    cnt = _seg_reduce_sum(w.astype(_INT_ACC), ctx)
+    cnt = jnp.where(nonempty_rows, cnt, 0)
     nonempty = cnt > 0
 
+    if a.func == "count":
+        return cnt, None
     if a.func == "sum":
-        s = jax.ops.segment_sum(jnp.where(w, arr, 0).astype(acc_t), seg,
-                                num_segments=n)
+        s = _seg_reduce_sum(jnp.where(w, arr, 0).astype(acc_t), ctx)
         return s, nonempty
     if a.func == "avg":
-        s = jax.ops.segment_sum(jnp.where(w, arr, 0).astype(_FLT_ACC), seg,
-                                num_segments=n)
+        s = _seg_reduce_sum(jnp.where(w, arr, 0).astype(_FLT_ACC), ctx)
         return s / jnp.maximum(cnt, 1).astype(_FLT_ACC), nonempty
     if a.func in ("min", "max"):
-        if is_float:
+        if arr.dtype == jnp.bool_:
+            arr = arr.astype(jnp.int32)
+        if jnp.issubdtype(arr.dtype, jnp.floating):
             sentinel = jnp.asarray(jnp.inf if a.func == "min" else -jnp.inf,
                                    dtype=arr.dtype)
-        elif arr.dtype == jnp.bool_:
-            arr = arr.astype(jnp.int32)
-            sentinel = jnp.asarray(1 if a.func == "min" else 0, jnp.int32)
         else:
             info = jnp.iinfo(arr.dtype)
             sentinel = jnp.asarray(info.max if a.func == "min" else info.min,
                                    dtype=arr.dtype)
         masked = jnp.where(w, arr, sentinel)
-        fn = jax.ops.segment_min if a.func == "min" else jax.ops.segment_max
-        m = fn(masked, seg, num_segments=n)
+        op = jnp.minimum if a.func == "min" else jnp.maximum
+        m = _seg_scan(op, masked, ctx.seg)[ctx.last]
         return m, nonempty
     if a.func in ("var", "stddev"):
         x = jnp.where(w, arr, 0).astype(_FLT_ACC)
-        s = jax.ops.segment_sum(x, seg, num_segments=n)
-        s2 = jax.ops.segment_sum(x * x, seg, num_segments=n)
+        s = _seg_reduce_sum(x, ctx)
+        s2 = _seg_reduce_sum(x * x, ctx)
         c = cnt.astype(_FLT_ACC)
         var = (s2 - s * s / jnp.maximum(c, 1.0)) / jnp.maximum(c - 1.0, 1.0)
         var = jnp.maximum(var, 0.0)
         out = jnp.sqrt(var) if a.func == "stddev" else var
         return out, cnt > 1
     if a.func == "any_value":
-        return arr[firstrow], (s_alive & valid)[firstrow]
+        # first alive+valid value in the group: segmented "keep first valid"
+        idx = jnp.where(w, jnp.arange(ctx.n, dtype=jnp.int32), ctx.n - 1)
+        firstv = _seg_scan(jnp.minimum, idx, ctx.seg)[ctx.last]
+        firstv = jnp.clip(firstv, 0, ctx.n - 1)
+        return arr[firstv], w[firstv]
     raise ValueError(f"unknown aggregate {a.func}")
 
 
-def ungrouped_aggregate(aggs: list[AggInput], alive: Optional[jax.Array], out_pad: int):
+def ungrouped_aggregate(aggs: list[AggInput], alive: Optional[jax.Array],
+                        out_pad: int):
     """Whole-table aggregates → one row, padded to out_pad."""
     n = aggs[0].arr.shape[0] if aggs and aggs[0].arr is not None else (
         alive.shape[0] if alive is not None else out_pad)
@@ -200,7 +245,6 @@ def ungrouped_aggregate(aggs: list[AggInput], alive: Optional[jax.Array], out_pa
         valid = a.valid if a.valid is not None else jnp.ones((n,), jnp.bool_)
         w = alive_m & valid
         if a.distinct:
-            # sort values, count/sum distinct alive+valid values
             s = jax.lax.sort([(~w).astype(jnp.int32), arr], num_keys=2)
             sw_flag, svals = s[0] == 0, s[1]
             newv = sw_flag & ((jnp.arange(n) == 0) | (svals != jnp.roll(svals, 1))
@@ -208,7 +252,6 @@ def ungrouped_aggregate(aggs: list[AggInput], alive: Optional[jax.Array], out_pa
             if a.func == "count":
                 outs.append((jnp.sum(newv.astype(_INT_ACC)), True))
                 continue
-            w = None  # fallthrough for sum(distinct)
             arr2 = jnp.where(newv, svals, 0)
             if a.func == "sum":
                 acc_t = _FLT_ACC if jnp.issubdtype(svals.dtype, jnp.floating) else _INT_ACC
@@ -237,7 +280,7 @@ def ungrouped_aggregate(aggs: list[AggInput], alive: Optional[jax.Array], out_pa
             else:
                 info = jnp.iinfo(arr_c.dtype)
                 sent = jnp.asarray(info.max if a.func == "min" else info.min,
-                                   arr_c.dtype)
+                                   dtype=arr_c.dtype)
             m = jnp.where(w, arr_c, sent)
             val = jnp.min(m) if a.func == "min" else jnp.max(m)
             outs.append((val, cnt > 0))
@@ -249,7 +292,6 @@ def ungrouped_aggregate(aggs: list[AggInput], alive: Optional[jax.Array], out_pa
                               / jnp.maximum(c - 1.0, 1.0), 0.0)
             outs.append((jnp.sqrt(var) if a.func == "stddev" else var, cnt > 1))
         elif a.func == "any_value":
-            # first alive+valid value
             idx = jnp.argmax(w)   # first True
             outs.append((arr[idx], jnp.any(w)))
         else:

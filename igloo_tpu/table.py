@@ -44,6 +44,7 @@ class Column:
     dtype: SqlType
     validity: jax.Array | None = None          # bool; True = valid; None = all valid
     dictionary: np.ndarray | None = None       # sorted str dictionary for STRING
+    stats: tuple | None = None                 # (min, max) for integer columns
 
     @property
     def capacity(self) -> int:
@@ -148,9 +149,20 @@ class DeviceTable:
                     vmask = _pad_np(valid, cap)
                 elif nrows != cap:
                     vmask = None  # tail handled by row_mask, not validity
+                stats = None
+                if st.is_integer and nrows > 0:
+                    import pyarrow.compute as pc
+                    try:
+                        mm = pc.min_max(arr)
+                        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                        if lo is not None and hi is not None:
+                            stats = (int(lo), int(hi))
+                    except Exception:
+                        stats = None
                 cols[name] = Column(
                     data=_put(data, device), dtype=st,
                     validity=_put(vmask, device) if vmask is not None else None,
+                    stats=stats,
                 )
         return cls(cols, nrows)
 
