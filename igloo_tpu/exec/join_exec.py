@@ -89,10 +89,18 @@ def execute_join(ex, node: L.Join, left, right):
     (start, counts, perm_b, njb, lj, rj, sk, lkey, stats) = phase_c(
         [a for a, _ in l_keys], [v for _, v in l_keys], left.mask,
         [a for a, _ in r_keys], [v for _, v in r_keys], right.mask)
-    total, maxdup = (int(x) for x in jax.device_get(stats))
 
     _, exact = join_ops.normalize_keys(
         [jnp.zeros((1,), d) for d in exact_dtypes])
+
+    if node.kind in (JoinKind.SEMI, JoinKind.ANTI):
+        if not exact:
+            raise NotSupportedError(
+                "semi/anti joins on >64-bit multi-column keys are not "
+                "supported yet")
+        return _semi_anti_path(ex, node, left, right, counts, njb, lj)
+
+    total, maxdup = (int(x) for x in jax.device_get(stats))
     if not exact and node.kind is not JoinKind.INNER:
         raise NotSupportedError(
             "outer joins on >64-bit multi-column keys are not supported yet")
@@ -115,6 +123,43 @@ def execute_join(ex, node: L.Join, left, right):
 
 
 # ---------------------------------------------------------------------------
+
+def _semi_anti_path(ex, node, left, right, counts, njb, lj):
+    """[NOT] IN / [NOT] EXISTS: filter probe rows on match existence.
+
+    NOT IN is null-aware: a NULL probe value, or any NULL among the
+    subquery's values, removes the row (x NOT IN (…NULL…) is never TRUE) —
+    except over an entirely empty subquery, where NOT IN is TRUE for all
+    rows including NULL probes (SQL three-valued logic).
+    """
+    from .runtime import RTable
+    is_anti = node.kind is JoinKind.ANTI
+    key = ("join_sa", is_anti, left.capacity, right.capacity,
+           left.mask is not None, right.mask is not None)
+    fn = ex._jit_cache.get(key)
+    if fn is None:
+        r_cap = right.capacity
+
+        @jax.jit
+        def fn(l_mask, r_mask, counts, njb, lj):
+            cap_l = counts.shape[0]
+            alive_l = (l_mask if l_mask is not None
+                       else jnp.ones((cap_l,), jnp.bool_))
+            matched = counts > 0
+            if not is_anti:
+                return alive_l & lj & matched
+            n_alive_b = (jnp.sum(r_mask.astype(jnp.int32))
+                         if r_mask is not None
+                         else jnp.asarray(r_cap, jnp.int32))
+            any_null_b = n_alive_b > njb
+            empty_build = n_alive_b == 0
+            return jnp.where(empty_build, alive_l,
+                             alive_l & lj & ~matched & ~any_null_b)
+        ex._jit_cache[key] = fn
+
+    out_mask = fn(left.mask, right.mask, counts, njb, lj)
+    return RTable(left.cols, left.names, out_mask, left.capacity)
+
 
 def _gathered_cols(cols, idx, extra_valid=None):
     """Gather RCols by row index; AND an extra validity in."""

@@ -57,7 +57,8 @@ _DISTRIBUTABLE = (L.Scan, L.Filter, L.Projection, L.Aggregate, L.Join,
 def node_distributable(node: L.LogicalPlan) -> bool:
     if not isinstance(node, _DISTRIBUTABLE):
         return False
-    if isinstance(node, L.Join) and node.kind is JoinKind.CROSS:
+    if isinstance(node, L.Join) and node.kind not in (
+            JoinKind.INNER, JoinKind.LEFT, JoinKind.RIGHT, JoinKind.FULL):
         return False
     # scalar subqueries need recursive host execution — keep on host path
     for e in _node_exprs(node):

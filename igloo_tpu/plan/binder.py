@@ -144,10 +144,21 @@ class Binder:
 
         # ---- WHERE ----
         if sel.where is not None:
-            pred = self.bind_expr(sel.where, scope)
-            if pred.dtype not in (SqlType.BOOL, SqlType.NULL):
-                raise BindError("WHERE predicate must be boolean")
-            plan = Filter(plan, pred)
+            normal = []
+            for conj in _split_and(sel.where):
+                sub = self._try_subquery_conjunct(conj)
+                if sub is not None:
+                    plan = self._bind_subquery_join(plan, scope, *sub)
+                else:
+                    normal.append(conj)
+            if normal:
+                where = normal[0]
+                for c in normal[1:]:
+                    where = ast.BinaryOp(ast.BinOp.AND, where, c)
+                pred = self.bind_expr(where, scope)
+                if pred.dtype not in (SqlType.BOOL, SqlType.NULL):
+                    raise BindError("WHERE predicate must be boolean")
+                plan = Filter(plan, pred)
 
         # ---- expand stars, collect select items ----
         items: list[tuple[ast.Expr, str]] = []
@@ -402,6 +413,45 @@ class Binder:
         if nf is None:
             nf = not o.ascending
         return SortKey(b, o.ascending, nf)
+
+    def _try_subquery_conjunct(self, e: ast.Expr):
+        """Recognize [NOT] IN (subquery) / [NOT] EXISTS (subquery) conjuncts."""
+        negated = False
+        if isinstance(e, ast.UnaryOp) and e.op is ast.UnOp.NOT:
+            inner = e.operand
+            if isinstance(inner, (ast.InSubquery, ast.Exists)):
+                negated = True
+                e = inner
+        if isinstance(e, ast.InSubquery):
+            return ("in", e.operand, e.query, e.negated ^ negated)
+        if isinstance(e, ast.Exists):
+            return ("exists", None, e.query, e.negated ^ negated)
+        return None
+
+    def _bind_subquery_join(self, plan, scope, mode, operand_ast, query,
+                            negated):
+        """Uncorrelated [NOT] IN / [NOT] EXISTS → SEMI/ANTI join.
+        NOT IN is null-aware (any NULL in the subquery, or a NULL probe
+        value, removes the row — SQL three-valued logic)."""
+        sub = self.bind(query)
+        kind = ast.JoinKind.ANTI if negated else ast.JoinKind.SEMI
+        if mode == "in":
+            if len(sub.schema) != 1:
+                raise BindError("IN subquery must return exactly one column")
+            operand = self.bind_expr(operand_ast, scope)
+            f = sub.schema[0]
+            self._check_comparable(operand,
+                                   BColumn(f.dtype, f.nullable, 0, f.name),
+                                   ast.BinOp.EQ)
+            left_keys = (operand,)
+            right_keys = (BColumn(f.dtype, f.nullable, 0, f.name),)
+        else:
+            # EXISTS: constant keys — matches iff the subquery is nonempty
+            lit = BLiteral(SqlType.INT64, False, 0)
+            left_keys = (lit,)
+            right_keys = (BLiteral(SqlType.INT64, False, 0),)
+        return Join(plan, sub, kind, left_keys, right_keys, None,
+                    tuple(plan.schema))
 
     # ================= relations =================
 

@@ -98,6 +98,22 @@ def _prune_columns(node: L.LogicalPlan, needed: set):
         return node, {i: i for i in range(len(node.schema))}
 
     if isinstance(node, L.Join):
+        from ..sql.ast import JoinKind
+        if node.kind in (JoinKind.SEMI, JoinKind.ANTI):
+            # output schema = left side only; right side contributes keys
+            left_needed = set(needed)
+            for e in node.left_keys:
+                left_needed |= L.referenced_columns(e)
+            right_needed = set()
+            for e in node.right_keys:
+                right_needed |= L.referenced_columns(e)
+            node.left, lmap = _prune_columns(node.left, left_needed)
+            node.right, rmap = _prune_columns(node.right, right_needed)
+            node.left_keys = tuple(_remap_expr(e, lmap) for e in node.left_keys)
+            node.right_keys = tuple(_remap_expr(e, rmap) for e in node.right_keys)
+            node.schema = tuple(
+                node.schema[i] for i in sorted(lmap, key=lambda o: lmap[o]))
+            return node, dict(lmap)
         nl = len(node.left.schema)
         left_needed, right_needed = set(), set()
         for i in needed:

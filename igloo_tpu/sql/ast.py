@@ -169,6 +169,9 @@ class JoinKind(enum.Enum):
     RIGHT = "RIGHT"
     FULL = "FULL"
     CROSS = "CROSS"
+    # internal kinds produced by the binder for IN/EXISTS subqueries
+    SEMI = "SEMI"
+    ANTI = "ANTI"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -183,12 +183,14 @@ class DeviceTable:
             if col.dtype.is_string:
                 dictionary = col.dictionary if col.dictionary is not None else np.asarray([""], dtype=object)
                 codes = np.clip(host.astype(np.int64), 0, len(dictionary) - 1)
+                # vectorized rehydration: dictionary gather + null mask,
+                # no per-row Python
                 values = dictionary[codes]
-                pyvals = [
-                    None if (valid is not None and not valid[i]) else values[i]
-                    for i in range(n)
-                ]
-                arrays.append(pa.array(pyvals, type=pa.string()))
+                if valid is not None:
+                    arrays.append(pa.array(values, type=pa.string(),
+                                           mask=~valid))
+                else:
+                    arrays.append(pa.array(values, type=pa.string()))
             else:
                 arrow_t = col.dtype.to_arrow()
                 if valid is not None:

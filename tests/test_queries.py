@@ -378,3 +378,46 @@ def test_result_cache(engine):
     engine.register_table("t", pa.table({"x": [10]}))
     out = engine.execute(q)
     assert out.column("s")[0].as_py() == 10
+
+
+def test_in_subquery_semi_join(engine):
+    engine.register_table("t", pa.table({"x": [1, 2, 3, 4]}))
+    engine.register_table("s", pa.table({"y": [2, 4, 9]}))
+    out = engine.execute("SELECT x FROM t WHERE x IN (SELECT y FROM s) ORDER BY x")
+    assert out.column("x").to_pylist() == [2, 4]
+    out2 = engine.execute(
+        "SELECT x FROM t WHERE x NOT IN (SELECT y FROM s) ORDER BY x")
+    assert out2.column("x").to_pylist() == [1, 3]
+
+
+def test_not_in_null_aware(engine):
+    engine.register_table("t", pa.table({"x": [1, 2, None]}))
+    engine.register_table("s", pa.table({"y": [2, None]}))
+    # any NULL in the subquery: NOT IN never TRUE
+    out = engine.execute("SELECT x FROM t WHERE x NOT IN (SELECT y FROM s)")
+    assert out.column("x").to_pylist() == []
+    # empty subquery: NOT IN is TRUE for every row
+    engine.register_table("e", pa.table({"y": pa.array([], type=pa.int64())}))
+    out2 = engine.execute(
+        "SELECT x FROM t WHERE x NOT IN (SELECT y FROM e) ORDER BY x NULLS LAST")
+    assert out2.column("x").to_pylist() == [1, 2, None]
+
+
+def test_exists_subquery(engine):
+    engine.register_table("t", pa.table({"x": [1, 2]}))
+    engine.register_table("s", pa.table({"y": [5]}))
+    engine.register_table("e", pa.table({"y": pa.array([], type=pa.int64())}))
+    assert engine.execute(
+        "SELECT x FROM t WHERE EXISTS (SELECT y FROM s)").num_rows == 2
+    assert engine.execute(
+        "SELECT x FROM t WHERE EXISTS (SELECT y FROM e)").num_rows == 0
+    assert engine.execute(
+        "SELECT x FROM t WHERE NOT EXISTS (SELECT y FROM e)").num_rows == 2
+
+
+def test_in_subquery_strings(engine):
+    engine.register_table("t", pa.table({"s": ["a", "b", "c"]}))
+    engine.register_table("sub", pa.table({"v": ["b", "c", "z"]}))
+    out = engine.execute(
+        "SELECT s FROM t WHERE s IN (SELECT v FROM sub) ORDER BY s")
+    assert out.column("s").to_pylist() == ["b", "c"]
