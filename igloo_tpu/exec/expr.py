@@ -196,7 +196,12 @@ class ExprPrep:
             self.prepare(e.operand)
             d = self.out_dict(e.operand)
             rx = like_to_regex(e.pattern, e.case_insensitive)
-            match = np.asarray([bool(rx.match(s)) for s in d], dtype=np.bool_)
+            from .. import native
+            match = native.like_match(d, e.pattern, e.case_insensitive,
+                                      py_matcher=rx.match)
+            if match is None:
+                match = np.asarray([bool(rx.match(s)) for s in d],
+                                   dtype=np.bool_)
             self._info(e)["match_aux"] = self._add_aux(match)
             return
         if isinstance(e, BScalarFunc):
@@ -342,7 +347,14 @@ class ExprPrep:
             host_fn = f.host_fn if f else None
         if host_fn is None:
             raise NotSupportedError(f"no host implementation for {e.name}()")
-        outs = [host_fn(s, *extra) for s in d]
+        outs = None
+        if not extra:
+            from .. import native
+            native_out = native.dict_transform(d, e.name, py_fn=host_fn)
+            if native_out is not None:
+                outs = list(native_out)
+        if outs is None:
+            outs = [host_fn(s, *extra) for s in d]
         if e.dtype.is_string:
             transformed = np.asarray([o if o is not None else "" for o in outs],
                                      dtype=object)
