@@ -8,9 +8,9 @@ primitives:
 
   1. one `lax.sort` by group key (tiled bitonic network),
   2. boundary flags → dense segment ids via cumsum,
-  3. per-group reductions via SEGMENTED ASSOCIATIVE SCANS
-     (`lax.associative_scan` with a (value, segment) combiner — log n
-     fully-vectorized passes, deterministic left-to-right order),
+  3. per-group reductions via global cumsum + boundary differencing
+     (sums/counts) and hand-rolled segmented doubling scans (min/max) —
+     log n fully-vectorized passes, deterministic order,
   4. group start/end positions via `searchsorted` on the sorted segment
      ids (vectorized binary search — no scatter),
   5. results gathered at segment ends.
@@ -47,13 +47,26 @@ def _null_rank(valid):
 
 
 def _seg_scan(op, vals: jax.Array, seg: jax.Array) -> jax.Array:
-    """Inclusive segmented scan: per-segment running `op` reduction."""
-    def combine(a, b):
-        va, sa = a
-        vb, sb = b
-        return jnp.where(sb == sa, op(va, vb), vb), sb
-    out, _ = jax.lax.associative_scan(combine, (vals, seg))
-    return out
+    """Inclusive segmented scan via Hillis-Steele doubling.
+
+    Hand-rolled instead of `lax.associative_scan` with a tuple carry —
+    the tuple-carry scan HLO blows up TPU compile memory at 10M+ rows.
+    log2(n) fully-vectorized passes; segments are contiguous (rows are
+    sorted by key), so a shift-by-k merge only needs a segment-id
+    equality check.
+    """
+    n = vals.shape[0]
+    steps = max(1, (n - 1).bit_length())
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(i, v):
+        k = jnp.int32(1) << i
+        prev_v = jnp.roll(v, k)
+        prev_s = jnp.roll(seg, k)
+        ok = (idx >= k) & (prev_s == seg)
+        return jnp.where(ok, op(v, prev_v), v)
+
+    return jax.lax.fori_loop(0, steps, body, vals)
 
 
 def grouped_aggregate(keys: list[tuple[jax.Array, Optional[jax.Array]]],
@@ -164,8 +177,17 @@ class _SegCtx:
 
 
 def _seg_reduce_sum(vals, ctx: _SegCtx):
-    scanned = _seg_scan(jnp.add, vals, ctx.seg)
-    return scanned[ctx.last]
+    """Per-group sum: global cumsum + difference at group extents.
+
+    Exact for integer accumulators (modular arithmetic); for floats this
+    is the documented divergence (cumulative rounding) shared with every
+    parallel reduction order.
+    """
+    c = jnp.cumsum(vals)
+    hi = c[ctx.last]
+    lo = jnp.where(ctx.starts > 0, c[jnp.maximum(ctx.starts - 1, 0)],
+                   jnp.zeros_like(hi))
+    return hi - lo
 
 
 def _compute_agg(a: AggInput, ctx: _SegCtx):
@@ -220,11 +242,8 @@ def _compute_agg(a: AggInput, ctx: _SegCtx):
         out = jnp.sqrt(var) if a.func == "stddev" else var
         return out, cnt > 1
     if a.func == "any_value":
-        # first alive+valid value in the group: segmented "keep first valid"
-        idx = jnp.where(w, jnp.arange(ctx.n, dtype=jnp.int32), ctx.n - 1)
-        firstv = _seg_scan(jnp.minimum, idx, ctx.seg)[ctx.last]
-        firstv = jnp.clip(firstv, 0, ctx.n - 1)
-        return arr[firstv], w[firstv]
+        # the group's first row (matches first_value semantics incl. nulls)
+        return arr[ctx.starts_c], (ctx.s_alive & valid)[ctx.starts_c]
     raise ValueError(f"unknown aggregate {a.func}")
 
 
