@@ -113,6 +113,8 @@ class Binder:
             plan: LogicalPlan = Union((left, right), schema, all=True)
             if node.kind is ast.SetOpKind.UNION:
                 plan = Distinct(plan)
+        elif node.kind in (ast.SetOpKind.INTERSECT, ast.SetOpKind.EXCEPT):
+            plan = self._bind_intersect_except(left, right, schema, node.kind)
         else:
             raise NotSupportedError(f"{node.kind.value} not supported yet")
         if node.order_by:
@@ -413,6 +415,75 @@ class Binder:
         if nf is None:
             nf = not o.ascending
         return SortKey(b, o.ascending, nf)
+
+    def _bind_intersect_except(self, left: LogicalPlan, right: LogicalPlan,
+                               schema, kind) -> LogicalPlan:
+        """INTERSECT / EXCEPT via side-tagged grouping.
+
+        Rows from both sides are tagged, unioned, and grouped on every
+        column; groups are kept by per-side counts. GROUP BY equates
+        NULLs, matching SQL set-operation semantics (unlike join-key
+        equality, where NULL never matches).
+        """
+        from .logical import Aggregate, AggSpec
+
+        def tagged(plan: LogicalPlan, tag: int) -> LogicalPlan:
+            exprs = tuple(
+                BColumn(f.dtype, f.nullable, i, f.name)
+                for i, f in enumerate(plan.schema)
+            ) + (BLiteral(SqlType.INT64, False, tag),)
+            out_schema = tuple(
+                Field(f.name, s.dtype, s.nullable)
+                for f, s in zip(schema, plan.schema)
+            ) + (Field("__side", SqlType.INT64, False),)
+            # cast columns to the unified schema dtype via projection
+            cast_exprs = []
+            for e_, f in zip(exprs[:-1], schema):
+                if e_.dtype != f.dtype:
+                    cast_exprs.append(BCast(f.dtype, e_.nullable, e_, False))
+                else:
+                    cast_exprs.append(e_)
+            return Projection(plan, tuple(cast_exprs) + (exprs[-1],),
+                              tuple(Field(f.name, f.dtype, sf.nullable)
+                                    for f, sf in zip(schema, plan.schema))
+                              + (Field("__side", SqlType.INT64, False),))
+
+        tl = tagged(left, 1)
+        tr = tagged(right, 0)
+        u_schema = tl.schema
+        u = Union((tl, tr), u_schema, all=True)
+
+        ncols = len(schema)
+        group_exprs = tuple(
+            BColumn(f.dtype, f.nullable, i, f.name)
+            for i, f in enumerate(u_schema[:ncols]))
+        tag_col = BColumn(SqlType.INT64, False, ncols, "__side")
+        aggs = (
+            AggSpec("sum", tag_col, False, "__lcnt", SqlType.INT64, True),
+            AggSpec("count_star", None, False, "__total", SqlType.INT64, False),
+        )
+        agg_schema = tuple(schema) + (
+            Field("__lcnt", SqlType.INT64, True),
+            Field("__total", SqlType.INT64, False))
+        plan: LogicalPlan = Aggregate(u, group_exprs, aggs, agg_schema)
+
+        lcnt = BColumn(SqlType.INT64, True, ncols, "__lcnt")
+        total = BColumn(SqlType.INT64, False, ncols + 1, "__total")
+        zero = BLiteral(SqlType.INT64, False, 0)
+        has_left = BBinary(SqlType.BOOL, True, ast.BinOp.GT, lcnt, zero)
+        rcnt = BBinary(SqlType.INT64, True, ast.BinOp.SUB, total, lcnt)
+        if kind is ast.SetOpKind.INTERSECT:
+            cond = BBinary(SqlType.BOOL, True, ast.BinOp.AND, has_left,
+                           BBinary(SqlType.BOOL, True, ast.BinOp.GT, rcnt, zero))
+        else:  # EXCEPT
+            cond = BBinary(SqlType.BOOL, True, ast.BinOp.AND, has_left,
+                           BBinary(SqlType.BOOL, True, ast.BinOp.EQ, rcnt, zero))
+        plan = Filter(plan, cond)
+        # project the tag columns away
+        out_exprs = tuple(
+            BColumn(f.dtype, f.nullable, i, f.name)
+            for i, f in enumerate(schema))
+        return Projection(plan, out_exprs, tuple(schema))
 
     def _try_subquery_conjunct(self, e: ast.Expr):
         """Recognize [NOT] IN (subquery) / [NOT] EXISTS (subquery) conjuncts."""

@@ -421,3 +421,21 @@ def test_in_subquery_strings(engine):
     out = engine.execute(
         "SELECT s FROM t WHERE s IN (SELECT v FROM sub) ORDER BY s")
     assert out.column("s").to_pylist() == ["b", "c"]
+
+
+def test_intersect_except(engine):
+    engine.register_table("t1", pa.table({"x": [1, 2, 3, None, 2]}))
+    engine.register_table("t2", pa.table({"x": [2, None, 5]}))
+    out = engine.execute(
+        "SELECT x FROM t1 INTERSECT SELECT x FROM t2 ORDER BY x NULLS LAST")
+    assert out.column("x").to_pylist() == [2, None]
+    out2 = engine.execute(
+        "SELECT x FROM t1 EXCEPT SELECT x FROM t2 ORDER BY x")
+    assert out2.column("x").to_pylist() == [1, 3]
+
+
+def test_intersect_strings(engine):
+    engine.register_table("a1", pa.table({"s": ["x", "y", "z"]}))
+    engine.register_table("a2", pa.table({"s": ["y", "z", "w"]}))
+    out = engine.execute("SELECT s FROM a1 INTERSECT SELECT s FROM a2 ORDER BY s")
+    assert out.column("s").to_pylist() == ["y", "z"]
