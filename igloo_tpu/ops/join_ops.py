@@ -32,6 +32,11 @@ import jax.numpy as jnp
 INT64_MAX = jnp.iinfo(jnp.int64).max
 
 
+def _key_max(dtype):
+    """Sentinel that sorts after every real key of this dtype."""
+    return jnp.iinfo(dtype).max
+
+
 # ---------------------------------------------------------------------------
 # key normalization
 # ---------------------------------------------------------------------------
@@ -64,13 +69,21 @@ def _to_bits(a: jax.Array) -> tuple[jax.Array, int]:
 
 
 def normalize_keys(cols: list[jax.Array]) -> tuple[jax.Array, bool]:
-    """Combine key columns into one int64 key.
+    """Combine key columns into one integer key (int32 when it fits —
+    64-bit lanes halve TPU throughput).
 
     Returns (key, exact). exact=False means hashed (collisions possible →
     caller must verify matches against original columns).
     """
     if len(cols) == 1:
-        bits, _ = _to_bits(cols[0])
+        a = cols[0]
+        if a.dtype in (jnp.int32, jnp.int8, jnp.int16, jnp.uint8,
+                       jnp.uint16, jnp.bool_):
+            return a.astype(jnp.int32), True
+        if a.dtype == jnp.float32:
+            a = jnp.where(a == 0, jnp.zeros_like(a), a)  # -0.0 == 0.0
+            return jax.lax.bitcast_convert_type(a, jnp.int32), True
+        bits, _ = _to_bits(a)
         return bits.astype(jnp.int64), True
     bit_parts = [_to_bits(c) for c in cols]
     total = sum(w for _, w in bit_parts)
@@ -98,7 +111,7 @@ def build_side(key: jax.Array, joinable: jax.Array):
     dead = (~joinable).astype(jnp.int32)
     _, sk, perm = jax.lax.sort([dead, key, iota], num_keys=2, is_stable=True)
     nj = jnp.sum(joinable.astype(jnp.int32))
-    sk = jnp.where(iota < nj, sk, INT64_MAX)
+    sk = jnp.where(iota < nj, sk, _key_max(key.dtype))
     return sk, perm, nj
 
 
@@ -146,7 +159,7 @@ def unmatched_build_mask(sorted_keys: jax.Array, n_joinable, perm: jax.Array,
     dead_o = (~other_joinable).astype(jnp.int32)
     _, so = jax.lax.sort([dead_o, other_key], num_keys=2)
     n_other = jnp.sum(other_joinable.astype(jnp.int32))
-    so = jnp.where(iota_o < n_other, so, INT64_MAX)
+    so = jnp.where(iota_o < n_other, so, _key_max(other_key.dtype))
     pos = jnp.searchsorted(so, sorted_keys, side="left")
     hit = (pos < n_other) & (so[jnp.clip(pos, 0, so.shape[0] - 1)] == sorted_keys)
     alive_build = jnp.arange(nb) < n_joinable

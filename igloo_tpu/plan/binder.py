@@ -581,6 +581,20 @@ class Binder:
         elif j.kind is not ast.JoinKind.CROSS:
             raise BindError("JOIN requires ON or USING")
 
+        # unify key types: both sides must share a physical representation
+        # (normalize_keys compares bit patterns)
+        uni_l, uni_r = [], []
+        for lk, rk in zip(left_keys, right_keys):
+            if lk.dtype != rk.dtype:
+                ct = common_type(lk.dtype, rk.dtype)
+                if lk.dtype != ct:
+                    lk = BCast(ct, lk.nullable, lk, False)
+                if rk.dtype != ct:
+                    rk = BCast(ct, rk.nullable, rk, False)
+            uni_l.append(lk)
+            uni_r.append(rk)
+        left_keys, right_keys = uni_l, uni_r
+
         # outer-join nullability
         out_fields = []
         for i, f in enumerate(joined_fields):
