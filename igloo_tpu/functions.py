@@ -117,6 +117,50 @@ def _registry_builtin() -> dict[str, ScalarFunction]:
         device_fn=lambda args: jnp.float64(math.pi), min_args=0, max_args=0,
     ))
 
+    # ---- temporal ----
+    def civil_from_days(days):
+        # Howard Hinnant's algorithm, fully vectorized integer math
+        z = days.astype(jnp.int64) + 719468
+        era = jnp.floor_divide(z, 146097)
+        doe = z - era * 146097
+        yoe = jnp.floor_divide(
+            doe - jnp.floor_divide(doe, 1460) + jnp.floor_divide(doe, 36524)
+            - jnp.floor_divide(doe, 146096), 365)
+        y = yoe + era * 400
+        doy = doe - (365 * yoe + jnp.floor_divide(yoe, 4)
+                     - jnp.floor_divide(yoe, 100))
+        mp = jnp.floor_divide(5 * doy + 2, 153)
+        d = doy - jnp.floor_divide(153 * mp + 2, 5) + 1
+        m = mp + jnp.where(mp < 10, 3, -9)
+        y = y + (m <= 2)
+        return y, m, d
+
+    def _days_of(args, t):
+        a = args[0]
+        if t is SqlType.TIMESTAMP:
+            return jnp.floor_divide(a.astype(jnp.int64), 86_400_000_000)
+        return a
+
+    def date_fn(name, pick):
+        def rt(arg_types, n=name):
+            if not arg_types[0].is_temporal:
+                raise BindError(f"{n}() expects a DATE or TIMESTAMP")
+            return SqlType.INT64
+        def impl(args, p=pick):
+            # caller passes physical ints; timestamps are µs
+            days = args[0]
+            if days.dtype == jnp.int64:
+                big = jnp.abs(days) > 1 << 22   # heuristically µs vs days
+                days = jnp.where(big, jnp.floor_divide(days, 86_400_000_000),
+                                 days)
+            y, m, d = civil_from_days(days)
+            return (y, m, d)[p].astype(jnp.int64)
+        add(ScalarFunction(name, "numeric", ret_type=rt, device_fn=impl))
+
+    date_fn("year", 0)
+    date_fn("month", 1)
+    date_fn("day", 2)
+
     # ---- string → string (dictionary transforms) ----
     def str_fn(name, host):
         add(ScalarFunction(

@@ -716,6 +716,7 @@ class Binder:
                     raise BindError(f"{e.op.value} expects booleans")
             return BBinary(SqlType.BOOL, nullable, e.op, l, r)
         if e.op in _CMP_OPS:
+            l, r = _coerce_temporal(l, r)
             self._check_comparable(l, r, e.op)
             return BBinary(SqlType.BOOL, nullable, e.op, l, r)
         if e.op is ast.BinOp.CONCAT:
@@ -844,6 +845,34 @@ def _rebuild_ast(e: ast.Expr, children: list) -> ast.Expr:
         else_ = next(it) if e.else_ is not None else None
         return ast.Case(operand, whens, else_)
     return e
+
+
+def _coerce_temporal(l: BExpr, r: BExpr):
+    """'1998-09-02' literals compared against DATE/TIMESTAMP columns are
+    parsed to the column's physical representation (days / microseconds),
+    matching DataFusion's implicit coercion."""
+    import datetime as _dt
+
+    def conv(lit: BLiteral, target: SqlType) -> BLiteral:
+        s = lit.value
+        try:
+            if target is SqlType.DATE32:
+                d = _dt.date.fromisoformat(s)
+                days = (d - _dt.date(1970, 1, 1)).days
+                return BLiteral(SqlType.DATE32, False, days)
+            ts = _dt.datetime.fromisoformat(s)
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            us = int((ts - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+            return BLiteral(SqlType.TIMESTAMP, False, us)
+        except ValueError:
+            raise BindError(f"cannot parse {s!r} as {target.name}")
+
+    if l.dtype.is_temporal and isinstance(r, BLiteral) and r.dtype.is_string:
+        return l, conv(r, l.dtype)
+    if r.dtype.is_temporal and isinstance(l, BLiteral) and l.dtype.is_string:
+        return conv(l, r.dtype), r
+    return l, r
 
 
 def _split_and(e: ast.Expr) -> list[ast.Expr]:

@@ -136,6 +136,15 @@ class DeviceTable:
                 )
             else:
                 arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                if st.is_temporal:
+                    # physical representation: date32 → days (int32),
+                    # timestamp → microseconds (int64)
+                    target = pa.int32() if st is SqlType.DATE32 else pa.int64()
+                    if st is SqlType.TIMESTAMP and not pa.types.is_timestamp(arr.type):
+                        arr = arr.cast(pa.timestamp("us"))
+                    elif st is SqlType.TIMESTAMP:
+                        arr = arr.cast(pa.timestamp("us"))
+                    arr = arr.cast(target)
                 valid = ~np.asarray(arr.is_null()) if arr.null_count else None
                 npdt = numpy_dtype(st)
                 np_data = arr.to_numpy(zero_copy_only=False)
@@ -193,7 +202,12 @@ class DeviceTable:
                     arrays.append(pa.array(values, type=pa.string()))
             else:
                 arrow_t = col.dtype.to_arrow()
-                if valid is not None:
+                if col.dtype.is_temporal:
+                    phys = pa.int32() if col.dtype is SqlType.DATE32 else pa.int64()
+                    a = (pa.array(host, type=phys, mask=~valid)
+                         if valid is not None else pa.array(host, type=phys))
+                    arrays.append(a.cast(arrow_t))
+                elif valid is not None:
                     arrays.append(pa.array(host, type=arrow_t, mask=~valid))
                 else:
                     arrays.append(pa.array(host, type=arrow_t))

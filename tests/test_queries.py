@@ -439,3 +439,38 @@ def test_intersect_strings(engine):
     engine.register_table("a2", pa.table({"s": ["y", "z", "w"]}))
     out = engine.execute("SELECT s FROM a1 INTERSECT SELECT s FROM a2 ORDER BY s")
     assert out.column("s").to_pylist() == ["y", "z"]
+
+
+def test_dates(engine):
+    import datetime
+    engine.register_table("orders_t", pa.table({
+        "d": pa.array([datetime.date(1998, 9, 2), datetime.date(1997, 1, 15),
+                       datetime.date(1998, 12, 31), None], type=pa.date32()),
+        "v": [1, 2, 3, 4],
+    }))
+    out = engine.execute(
+        "SELECT v FROM orders_t WHERE d < '1998-09-02' ORDER BY v")
+    assert out.column("v").to_pylist() == [2]
+    out2 = engine.execute(
+        "SELECT year(d) AS y, month(d) AS m, day(d) AS dd FROM orders_t "
+        "WHERE d IS NOT NULL ORDER BY d")
+    assert rows(out2, "y", "m", "dd") == [(1997, 1, 15), (1998, 9, 2),
+                                          (1998, 12, 31)]
+    out3 = engine.execute(
+        "SELECT year(d) AS y, count(*) AS c FROM orders_t "
+        "WHERE d IS NOT NULL GROUP BY year(d) ORDER BY y")
+    assert rows(out3, "y", "c") == [(1997, 1), (1998, 2)]
+
+
+def test_timestamps(engine):
+    import datetime
+    engine.register_table("ev", pa.table({
+        "ts": pa.array([datetime.datetime(2020, 1, 1, 10, 0),
+                        datetime.datetime(2021, 6, 15, 23, 59)],
+                       type=pa.timestamp("us")),
+        "x": [1, 2],
+    }))
+    out = engine.execute("SELECT x FROM ev WHERE ts > '2020-06-01' ORDER BY x")
+    assert out.column("x").to_pylist() == [2]
+    out2 = engine.execute("SELECT year(ts) AS y FROM ev ORDER BY y")
+    assert out2.column("y").to_pylist() == [2020, 2021]
