@@ -58,32 +58,82 @@ def execute_join(ex, node: L.Join, left, right):
 
     exact_dtypes = [a.dtype for a, _ in l_keys]
 
+    # ---- direct-address planning: dense integer build keys skip the
+    # binary search entirely (searchsorted is the dominant probe cost on
+    # TPU; a value-indexed cumulative count table costs two gathers) ----
+    direct = None
+    if len(node.right_keys) == 1:
+        rk_expr = node.right_keys[0]
+        if (isinstance(rk_expr, L.BColumn)
+                and rk_expr.dtype.is_integer
+                and rk_expr.index < len(right.cols)):
+            st = getattr(right.cols[rk_expr.index], "stats", None)
+            if st is not None:
+                lo, hi = st
+                span = hi - lo + 1
+                if 0 < span <= max(4 * right.capacity, 1 << 20) \
+                        and span <= (1 << 24):
+                    direct = (int(lo), int(span))
+
     # ---- phase C: sort build side, count matches ----
     key_c = ("join_c", left.capacity, right.capacity,
              tuple(str(d) for d in exact_dtypes),
              tuple(v is not None for _, v in l_keys),
              tuple(v is not None for _, v in r_keys),
-             left.mask is not None, right.mask is not None)
+             left.mask is not None, right.mask is not None, direct)
     phase_c = ex._jit_cache.get(key_c)
     if phase_c is None:
-        @jax.jit
-        def phase_c(l_arrs, l_valids, l_mask, r_arrs, r_valids, r_mask):
-            lkey, _ = join_ops.normalize_keys(list(l_arrs))
-            rkey, _ = join_ops.normalize_keys(list(r_arrs))
-            lj = l_mask if l_mask is not None else jnp.ones(lkey.shape, jnp.bool_)
-            for v in l_valids:
-                if v is not None:
-                    lj = lj & v
-            rj = r_mask if r_mask is not None else jnp.ones(rkey.shape, jnp.bool_)
-            for v in r_valids:
-                if v is not None:
-                    rj = rj & v
-            sk, perm_b, njb = join_ops.build_side(rkey, rj)
-            start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
-            total = jnp.sum(counts.astype(jnp.int64))
-            maxdup = jnp.max(counts)
-            return (start, counts, perm_b, njb, lj, rj, sk, lkey,
-                    jnp.stack([total, maxdup.astype(jnp.int64)]))
+        if direct is not None:
+            lo, span = direct
+
+            @jax.jit
+            def phase_c(l_arrs, l_valids, l_mask, r_arrs, r_valids, r_mask):
+                lkey, _ = join_ops.normalize_keys(list(l_arrs))
+                rkey, _ = join_ops.normalize_keys(list(r_arrs))
+                lj = l_mask if l_mask is not None else jnp.ones(lkey.shape,
+                                                                jnp.bool_)
+                for v in l_valids:
+                    if v is not None:
+                        lj = lj & v
+                rj = r_mask if r_mask is not None else jnp.ones(rkey.shape,
+                                                                jnp.bool_)
+                for v in r_valids:
+                    if v is not None:
+                        rj = rj & v
+                sk, perm_b, njb = join_ops.build_side(rkey, rj)
+                # per-value cumulative counts over the key span
+                roff = jnp.clip(rkey - lo, 0, span - 1).astype(jnp.int32)
+                cnt = jnp.zeros((span + 1,), jnp.int32).at[roff + 1].add(
+                    rj.astype(jnp.int32), mode="drop")
+                cum = jnp.cumsum(cnt).astype(jnp.int32)
+                loff = lkey.astype(jnp.int64) - lo   # no int32 wraparound
+                in_range = (loff >= 0) & (loff < span) & lj
+                lc = jnp.clip(loff, 0, span - 1).astype(jnp.int32)
+                start = cum[lc]
+                counts = jnp.where(in_range, cum[lc + 1] - start, 0)
+                total = jnp.sum(counts.astype(jnp.int64))
+                maxdup = jnp.max(counts)
+                return (start, counts, perm_b, njb, lj, rj, sk, lkey,
+                        jnp.stack([total, maxdup.astype(jnp.int64)]))
+        else:
+            @jax.jit
+            def phase_c(l_arrs, l_valids, l_mask, r_arrs, r_valids, r_mask):
+                lkey, _ = join_ops.normalize_keys(list(l_arrs))
+                rkey, _ = join_ops.normalize_keys(list(r_arrs))
+                lj = l_mask if l_mask is not None else jnp.ones(lkey.shape, jnp.bool_)
+                for v in l_valids:
+                    if v is not None:
+                        lj = lj & v
+                rj = r_mask if r_mask is not None else jnp.ones(rkey.shape, jnp.bool_)
+                for v in r_valids:
+                    if v is not None:
+                        rj = rj & v
+                sk, perm_b, njb = join_ops.build_side(rkey, rj)
+                start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
+                total = jnp.sum(counts.astype(jnp.int64))
+                maxdup = jnp.max(counts)
+                return (start, counts, perm_b, njb, lj, rj, sk, lkey,
+                        jnp.stack([total, maxdup.astype(jnp.int64)]))
         ex._jit_cache[key_c] = phase_c
 
     (start, counts, perm_b, njb, lj, rj, sk, lkey, stats) = phase_c(

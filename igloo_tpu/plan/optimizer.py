@@ -18,8 +18,57 @@ from . import logical as L
 def optimize(plan: L.LogicalPlan) -> L.LogicalPlan:
     plan = _rewrite(plan, _fuse_limit_sort)
     plan = _rewrite(plan, _merge_filters)
+    plan = _rewrite(plan, _push_filter_into_join)
+    plan = _rewrite(plan, _push_filter_into_join)  # reach newly-created sites
+    plan = _rewrite(plan, _merge_filters)
     plan, _ = _prune_columns(plan, set(range(len(plan.schema))))
     return plan
+
+
+def _push_filter_into_join(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Filter(Join) conjuncts that reference only one side move below the
+    join (shrinking the build side before the probe — the reference gets
+    this from DataFusion's pushdown).
+
+    Safe sides depend on join kind: pushing to the left is wrong for
+    RIGHT/FULL (it would delete null-padded probe rows), to the right for
+    LEFT/FULL. SEMI/ANTI/CROSS outputs only the left side.
+    """
+    from ..sql.ast import JoinKind
+
+    if not (isinstance(plan, L.Filter) and isinstance(plan.input, L.Join)):
+        return plan
+    join = plan.input
+    nl = len(join.left.schema)
+    can_left = join.kind in (JoinKind.INNER, JoinKind.LEFT, JoinKind.CROSS,
+                             JoinKind.SEMI, JoinKind.ANTI)
+    can_right = join.kind in (JoinKind.INNER, JoinKind.RIGHT, JoinKind.CROSS)
+
+    keep = []
+    for conj in _split_bool_and(plan.predicate):
+        refs = L.referenced_columns(conj)
+        if refs and max(refs) < nl and can_left:
+            join.left = L.Filter(join.left, conj)
+        elif refs and min(refs) >= nl and can_right:
+            shifted = L.shift_columns(conj, -nl)
+            join.right = L.Filter(join.right, shifted)
+        else:
+            keep.append(conj)
+    if len(keep) == len(_split_bool_and(plan.predicate)):
+        return plan
+    if not keep:
+        return join
+    pred = keep[0]
+    for c in keep[1:]:
+        pred = L.BBinary(SqlType.BOOL, pred.nullable or c.nullable,
+                         BinOp.AND, pred, c)
+    return L.Filter(join, pred)
+
+
+def _split_bool_and(e: L.BExpr) -> list:
+    if isinstance(e, L.BBinary) and e.op is BinOp.AND:
+        return _split_bool_and(e.left) + _split_bool_and(e.right)
+    return [e]
 
 
 # ---------------------------------------------------------------------------
