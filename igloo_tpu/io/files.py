@@ -46,12 +46,15 @@ def register_csv(catalog: Catalog, name: str, path: str, *,
     if not os.path.exists(path):
         raise CatalogError(f"csv path does not exist: {path}")
     read_opts = pacsv.ReadOptions(autogenerate_column_names=not has_header)
+    conv_opts = pacsv.ConvertOptions(strings_can_be_null=True)
 
     def schema_fn():
-        return pacsv.read_csv(path, read_options=read_opts).schema
+        return pacsv.read_csv(path, read_options=read_opts,
+                              convert_options=conv_opts).schema
 
     def load_fn():
-        return pacsv.read_csv(path, read_options=read_opts)
+        return pacsv.read_csv(path, read_options=read_opts,
+                              convert_options=conv_opts)
 
     catalog.register(name, LazyFileProvider(schema_fn, load_fn, device=device))
 
