@@ -1,13 +1,20 @@
 """Join execution: wires ops/join_ops.py kernels into the runtime.
 
-Covers Inner/Left/Right/Full/Cross with correct SQL semantics —
+Covers Inner/Left/Right/Full/Cross/Semi/Anti with correct SQL semantics —
 including the Right/Full unmatched-row emission the reference's
 HashJoinExec lacks (/root/reference/crates/engine/src/operators/hash_join.rs:189-202).
 
 Build side = right (like the reference, hash_join.rs:100), probe = left.
-Two-phase: a probe-count program, one 2-scalar host read (total matches,
-max duplication), then the gather/assembly program. INNER/LEFT joins with
-unique build keys skip expansion entirely (output = probe capacity).
+TPU-shaped choices:
+- build payload columns are CO-SORTED with the build keys (lax.sort moves
+  operands at vector speed; permute-then-gather is ~7× slower),
+- when the build key column is a dense integer range (ingest stats), the
+  probe is two gathers into a value-indexed cumulative-count table
+  instead of a binary search (searchsorted is the slowest TPU primitive
+  here),
+- two-phase: a probe-count program, one 2-scalar host read (total
+  matches, max duplication), then the gather/assembly program.
+  INNER/LEFT joins with unique build keys skip expansion entirely.
 """
 
 from __future__ import annotations
@@ -18,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dtypes import SqlType
 from ..errors import NotSupportedError
 from ..sql.ast import JoinKind
 from ..plan import logical as L
@@ -32,8 +38,6 @@ def execute_join(ex, node: L.Join, left, right):
 
     if node.kind is JoinKind.CROSS:
         return _cross_join(ex, node, left, right)
-
-    nl = len(left.cols)
 
     # ---- phase A: evaluate key expressions on each side ----
     lk_out, lprep = ex._eval_program(left, list(node.left_keys), "join_lk")
@@ -57,10 +61,11 @@ def execute_join(ex, node: L.Join, left, right):
         r_keys.append((ra, rv))
 
     exact_dtypes = [a.dtype for a, _ in l_keys]
+    _, exact = join_ops.normalize_keys(
+        [jnp.zeros((1,), d) for d in exact_dtypes])
 
     # ---- direct-address planning: dense integer build keys skip the
-    # binary search entirely (searchsorted is the dominant probe cost on
-    # TPU; a value-indexed cumulative count table costs two gathers) ----
+    # binary search (searchsorted dominates TPU probe cost) ----
     direct = None
     if len(node.right_keys) == 1:
         rk_expr = node.right_keys[0]
@@ -75,73 +80,73 @@ def execute_join(ex, node: L.Join, left, right):
                         and span <= (1 << 24):
                     direct = (int(lo), int(span))
 
-    # ---- phase C: sort build side, count matches ----
+    # build payload: right columns (+valids), alive/joinable flags, and —
+    # for hashed multi-key verification — the original key arrays
+    need_verify = not exact
+
+    # ---- phase C: sort build side (with payload), count matches ----
     key_c = ("join_c", left.capacity, right.capacity,
              tuple(str(d) for d in exact_dtypes),
              tuple(v is not None for _, v in l_keys),
              tuple(v is not None for _, v in r_keys),
-             left.mask is not None, right.mask is not None, direct)
+             left.mask is not None, right.mask is not None, direct,
+             _sig(right), need_verify)
     phase_c = ex._jit_cache.get(key_c)
     if phase_c is None:
-        if direct is not None:
-            lo, span = direct
+        direct_params = direct
 
-            @jax.jit
-            def phase_c(l_arrs, l_valids, l_mask, r_arrs, r_valids, r_mask):
-                lkey, _ = join_ops.normalize_keys(list(l_arrs))
-                rkey, _ = join_ops.normalize_keys(list(r_arrs))
-                lj = l_mask if l_mask is not None else jnp.ones(lkey.shape,
-                                                                jnp.bool_)
-                for v in l_valids:
-                    if v is not None:
-                        lj = lj & v
-                rj = r_mask if r_mask is not None else jnp.ones(rkey.shape,
-                                                                jnp.bool_)
-                for v in r_valids:
-                    if v is not None:
-                        rj = rj & v
-                sk, perm_b, njb = join_ops.build_side(rkey, rj)
-                # per-value cumulative counts over the key span
+        @jax.jit
+        def phase_c(l_arrs, l_valids, l_mask, r_arrs, r_valids, r_mask,
+                    r_cols, r_colvalids):
+            lkey, _ = join_ops.normalize_keys(list(l_arrs))
+            rkey, _ = join_ops.normalize_keys(list(r_arrs))
+            lj = l_mask if l_mask is not None else jnp.ones(lkey.shape,
+                                                            jnp.bool_)
+            for v in l_valids:
+                if v is not None:
+                    lj = lj & v
+            r_alive = (r_mask if r_mask is not None
+                       else jnp.ones(rkey.shape, jnp.bool_))
+            rj = r_alive
+            for v in r_valids:
+                if v is not None:
+                    rj = rj & v
+
+            payload = list(r_cols) + list(r_colvalids) + [r_alive, rj]
+            if need_verify:
+                payload += list(r_arrs)
+            sk, perm_b, njb, sorted_payload = join_ops.build_side(
+                rkey, rj, payload)
+
+            if direct_params is not None:
+                lo, span = direct_params
                 roff = jnp.clip(rkey - lo, 0, span - 1).astype(jnp.int32)
                 cnt = jnp.zeros((span + 1,), jnp.int32).at[roff + 1].add(
                     rj.astype(jnp.int32), mode="drop")
                 cum = jnp.cumsum(cnt).astype(jnp.int32)
-                loff = lkey.astype(jnp.int64) - lo   # no int32 wraparound
+                loff = lkey.astype(jnp.int64) - lo
                 in_range = (loff >= 0) & (loff < span) & lj
                 lc = jnp.clip(loff, 0, span - 1).astype(jnp.int32)
                 start = cum[lc]
                 counts = jnp.where(in_range, cum[lc + 1] - start, 0)
-                total = jnp.sum(counts.astype(jnp.int64))
-                maxdup = jnp.max(counts)
-                return (start, counts, perm_b, njb, lj, rj, sk, lkey,
-                        jnp.stack([total, maxdup.astype(jnp.int64)]))
-        else:
-            @jax.jit
-            def phase_c(l_arrs, l_valids, l_mask, r_arrs, r_valids, r_mask):
-                lkey, _ = join_ops.normalize_keys(list(l_arrs))
-                rkey, _ = join_ops.normalize_keys(list(r_arrs))
-                lj = l_mask if l_mask is not None else jnp.ones(lkey.shape, jnp.bool_)
-                for v in l_valids:
-                    if v is not None:
-                        lj = lj & v
-                rj = r_mask if r_mask is not None else jnp.ones(rkey.shape, jnp.bool_)
-                for v in r_valids:
-                    if v is not None:
-                        rj = rj & v
-                sk, perm_b, njb = join_ops.build_side(rkey, rj)
+            else:
                 start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
-                total = jnp.sum(counts.astype(jnp.int64))
-                maxdup = jnp.max(counts)
-                return (start, counts, perm_b, njb, lj, rj, sk, lkey,
-                        jnp.stack([total, maxdup.astype(jnp.int64)]))
+            total = jnp.sum(counts.astype(jnp.int64))
+            maxdup = jnp.max(counts)
+            return (start, counts, njb, lj, sk, lkey, sorted_payload,
+                    jnp.stack([total, maxdup.astype(jnp.int64)]))
         ex._jit_cache[key_c] = phase_c
 
-    (start, counts, perm_b, njb, lj, rj, sk, lkey, stats) = phase_c(
+    (start, counts, njb, lj, sk, lkey, sorted_payload, stats) = phase_c(
         [a for a, _ in l_keys], [v for _, v in l_keys], left.mask,
-        [a for a, _ in r_keys], [v for _, v in r_keys], right.mask)
+        [a for a, _ in r_keys], [v for _, v in r_keys], right.mask,
+        [c.arr for c in right.cols], [c.valid for c in right.cols])
 
-    _, exact = join_ops.normalize_keys(
-        [jnp.zeros((1,), d) for d in exact_dtypes])
+    ncr = len(right.cols)
+    sb_arrs = sorted_payload[:ncr]
+    sb_valids = sorted_payload[ncr:2 * ncr]
+    sb_alive, sb_joinable = sorted_payload[2 * ncr], sorted_payload[2 * ncr + 1]
+    sb_verify = sorted_payload[2 * ncr + 2:] if need_verify else None
 
     if node.kind in (JoinKind.SEMI, JoinKind.ANTI):
         if not exact:
@@ -158,18 +163,30 @@ def execute_join(ex, node: L.Join, left, right):
         raise NotSupportedError(
             "non-equi residual conditions on outer joins are not supported yet")
 
-    verify_keys = None if exact else (l_keys, r_keys)
+    build = _BuildSide(sb_arrs, sb_valids, sb_alive, sb_joinable, sb_verify,
+                       njb, sk)
 
     if maxdup <= 1 and node.kind in (JoinKind.INNER, JoinKind.LEFT):
-        rt = _unique_path(ex, node, left, right, start, counts, perm_b,
-                          verify_keys)
+        rt = _unique_path(ex, node, left, right, start, counts, build,
+                          [a for a, _ in l_keys])
     else:
-        rt = _segmented_path(ex, node, left, right, start, counts, perm_b,
-                             njb, lj, rj, sk, lkey, total, verify_keys)
+        rt = _segmented_path(ex, node, left, right, start, counts, build,
+                             lj, lkey, total, [a for a, _ in l_keys])
 
     if node.residual is not None:
         rt = _apply_residual(ex, rt, node.residual)
     return rt
+
+
+@dataclasses.dataclass
+class _BuildSide:
+    arrs: list                   # co-sorted build columns
+    valids: list
+    alive: object                # sorted alive flags
+    joinable: object             # sorted joinable flags
+    verify: object               # sorted original key arrays (hashed case)
+    njb: object
+    sk: object
 
 
 # ---------------------------------------------------------------------------
@@ -211,57 +228,35 @@ def _semi_anti_path(ex, node, left, right, counts, njb, lj):
     return RTable(left.cols, left.names, out_mask, left.capacity)
 
 
-def _gathered_cols(cols, idx, extra_valid=None):
-    """Gather RCols by row index; AND an extra validity in."""
-    out = []
-    for c in cols:
-        arr = c.arr[idx]
-        valid = None if c.valid is None else c.valid[idx]
-        if extra_valid is not None:
-            valid = extra_valid if valid is None else (valid & extra_valid)
-        out.append((arr, valid))
-    return out
-
-
-def _null_cols(cols, n):
-    return [(jnp.zeros((n,), c.arr.dtype), jnp.zeros((n,), jnp.bool_))
-            for c in cols]
-
-
-def _verify_eq(l_keys, r_keys, probe_idx, build_idx):
-    ok = None
-    for (la, _), (ra, _) in zip(l_keys, r_keys):
-        eq = la[probe_idx] == ra[build_idx]
-        ok = eq if ok is None else (ok & eq)
-    return ok
-
-
-def _unique_path(ex, node, left, right, start, counts, perm_b, verify_keys):
+def _unique_path(ex, node, left, right, start, counts, build: _BuildSide,
+                 l_key_arrs):
+    """INNER/LEFT with ≤1 match per probe row: output row i = probe row i;
+    build columns gather once from the co-sorted build table."""
     from .runtime import RCol, RTable
     cap = left.capacity
     key = ("join_u", node.kind.value, cap, right.capacity,
-           _sig(left), _sig(right), verify_keys is not None)
+           _sig(left), _sig(right), build.verify is not None)
     fn = ex._jit_cache.get(key)
     if fn is None:
         kind = node.kind
 
         @jax.jit
-        def fn(l_arrs, l_valids, l_mask, r_arrs, r_valids,
-               start, counts, perm_b, vl_arrs, vr_arrs):
+        def fn(l_arrs, l_valids, l_mask, start, counts,
+               sb_arrs, sb_valids, sb_verify, vl_arrs):
             matched = counts > 0
-            bpos = perm_b[jnp.clip(start, 0, perm_b.shape[0] - 1)]
-            if vl_arrs is not None:
-                iota = jnp.arange(cap, dtype=jnp.int32)
+            pos = jnp.clip(start, 0, sb_arrs[0].shape[0] - 1 if sb_arrs
+                           else 0)
+            if sb_verify is not None:
                 ok = None
-                for la, ra in zip(vl_arrs, vr_arrs):
-                    eq = la == ra[bpos]
+                for la, ra in zip(vl_arrs, sb_verify):
+                    eq = la == ra[pos]
                     ok = eq if ok is None else (ok & eq)
                 matched = matched & ok
             lm = l_mask if l_mask is not None else jnp.ones((cap,), jnp.bool_)
             build_cols = []
-            for a, v in zip(r_arrs, r_valids):
-                arr = a[bpos]
-                valid = v[bpos] if v is not None else None
+            for a, v in zip(sb_arrs, sb_valids):
+                arr = a[pos]
+                valid = v[pos] if v is not None else None
                 if kind is JoinKind.LEFT:
                     valid = matched if valid is None else (valid & matched)
                 build_cols.append((arr, valid))
@@ -270,12 +265,10 @@ def _unique_path(ex, node, left, right, start, counts, perm_b, verify_keys):
             return left_cols, build_cols, out_mask
         ex._jit_cache[key] = fn
 
-    vl = [a for a, _ in verify_keys[0]] if verify_keys else None
-    vr = [a for a, _ in verify_keys[1]] if verify_keys else None
     left_cols, build_cols, out_mask = fn(
         [c.arr for c in left.cols], [c.valid for c in left.cols], left.mask,
-        [c.arr for c in right.cols], [c.valid for c in right.cols],
-        start, counts, perm_b, vl, vr)
+        start, counts, build.arrs, build.valids, build.verify,
+        l_key_arrs if build.verify is not None else None)
     cols = [
         RCol(a, v, c.dtype, c.dictionary)
         for (a, v), c in zip(left_cols, left.cols)
@@ -287,8 +280,8 @@ def _unique_path(ex, node, left, right, start, counts, perm_b, verify_keys):
     return RTable(cols, names, out_mask, cap)
 
 
-def _segmented_path(ex, node, left, right, start, counts, perm_b, njb,
-                    lj, rj, sk, lkey, total, verify_keys):
+def _segmented_path(ex, node, left, right, start, counts, build: _BuildSide,
+                    lj, lkey, total, l_key_arrs):
     from .runtime import RCol, RTable
     kind = node.kind
     inner_cap = pad_count(max(total, 1))
@@ -298,59 +291,64 @@ def _segmented_path(ex, node, left, right, start, counts, perm_b, njb,
         + (right.capacity if want_build_seg else 0)
 
     key = ("join_s", kind.value, inner_cap, left.capacity, right.capacity,
-           _sig(left), _sig(right), verify_keys is not None)
+           _sig(left), _sig(right), build.verify is not None)
     fn = ex._jit_cache.get(key)
     if fn is None:
         @jax.jit
-        def fn(l_arrs, l_valids, l_mask, r_arrs, r_valids, r_mask,
-               start, counts, perm_b, njb, lj, rj, sk, lkey, vl_arrs, vr_arrs):
+        def fn(l_arrs, l_valids, l_mask, start, counts,
+               sb_arrs, sb_valids, sb_alive, sb_joinable, sb_verify,
+               njb, lj, sk, lkey, vl_arrs):
             probe_row, build_pos, slot_valid = join_ops.expand_matches(
                 start, counts, inner_cap)
-            bpos = perm_b[jnp.clip(build_pos, 0, perm_b.shape[0] - 1)]
-            if vl_arrs is not None:
+            nb = sb_alive.shape[0]
+            bpos = jnp.clip(build_pos, 0, nb - 1)
+            if sb_verify is not None:
                 ok = None
-                for la, ra in zip(vl_arrs, vr_arrs):
+                for la, ra in zip(vl_arrs, sb_verify):
                     eq = la[probe_row] == ra[bpos]
                     ok = eq if ok is None else (ok & eq)
                 slot_valid = slot_valid & ok
 
-            seg_cols = []   # per output column: list of (arr, valid) segments
             seg_masks = [slot_valid]
             l_all = list(zip(l_arrs, l_valids))
-            r_all = list(zip(r_arrs, r_valids))
 
-            def gather(pairs, idx):
-                return [(a[idx], None if v is None else v[idx]) for a, v in pairs]
+            def gather_l(idx):
+                return [(a[idx], None if v is None else v[idx])
+                        for a, v in l_all]
 
-            exp_left = gather(l_all, probe_row)
-            exp_right = gather(r_all, bpos)
-            segments = [(exp_left, exp_right)]
+            def gather_b(idx):
+                return [(a[idx], None if v is None else v[idx])
+                        for a, v in zip(sb_arrs, sb_valids)]
+
+            segments = [(gather_l(probe_row), gather_b(bpos))]
 
             if want_probe_seg:
-                lm = l_mask if l_mask is not None else jnp.ones(
-                    (l_arrs[0].shape[0] if l_arrs else lj.shape[0],), jnp.bool_)
-                unmatched_probe = lm & (counts == 0)
-                seg_masks.append(unmatched_probe)
+                cap_l = counts.shape[0]
+                lm = l_mask if l_mask is not None else jnp.ones((cap_l,),
+                                                               jnp.bool_)
+                seg_masks.append(lm & (counts == 0))
                 segments.append((
                     [(a, v) for a, v in l_all],
-                    _null_cols_pairs(r_all, lj.shape[0])))
+                    [(jnp.zeros((cap_l,), a.dtype),
+                      jnp.zeros((cap_l,), jnp.bool_)) for a, _ in
+                     zip(sb_arrs, sb_valids)]))
             if want_build_seg:
-                rm = r_mask if r_mask is not None else jnp.ones(rj.shape, jnp.bool_)
-                unmatched_j = join_ops.unmatched_build_mask(sk, njb, perm_b,
-                                                            lkey, lj)
-                unmatched_build = (rm & ~rj) | unmatched_j
-                seg_masks.append(unmatched_build)
+                unmatched_j = join_ops.unmatched_build_mask_sorted(
+                    sk, njb, lkey, lj)
+                # joinable build rows never hit + alive-but-null-keyed rows
+                seg_masks.append(unmatched_j | (sb_alive & ~sb_joinable))
                 segments.append((
-                    _null_cols_pairs(l_all, rj.shape[0]),
-                    [(a, v) for a, v in r_all]))
+                    [(jnp.zeros((nb,), a.dtype),
+                      jnp.zeros((nb,), jnp.bool_)) for a, _ in l_all],
+                    [(a, v) for a, v in zip(sb_arrs, sb_valids)]))
 
-            ncols_l = len(l_all)
-            ncols_r = len(r_all)
+            ncl = len(l_all)
             out_cols = []
-            for ci in range(ncols_l + ncols_r):
+            nsrc = ncl + len(sb_arrs)
+            for ci in range(nsrc):
                 arrs, valids = [], []
                 for (seg_l, seg_r), smask in zip(segments, seg_masks):
-                    a, v = (seg_l[ci] if ci < ncols_l else seg_r[ci - ncols_l])
+                    a, v = seg_l[ci] if ci < ncl else seg_r[ci - ncl]
                     arrs.append(a)
                     valids.append(v)
                 arr = jnp.concatenate(arrs)
@@ -365,22 +363,16 @@ def _segmented_path(ex, node, left, right, start, counts, perm_b, njb,
             return out_cols, out_mask
         ex._jit_cache[key] = fn
 
-    vl = [a for a, _ in verify_keys[0]] if verify_keys else None
-    vr = [a for a, _ in verify_keys[1]] if verify_keys else None
     out_cols, out_mask = fn(
         [c.arr for c in left.cols], [c.valid for c in left.cols], left.mask,
-        [c.arr for c in right.cols], [c.valid for c in right.cols], right.mask,
-        start, counts, perm_b, njb, lj, rj, sk, lkey, vl, vr)
+        start, counts, build.arrs, build.valids, build.alive, build.joinable,
+        build.verify, build.njb, lj, build.sk, lkey,
+        l_key_arrs if build.verify is not None else None)
     src = list(left.cols) + list(right.cols)
     cols = [RCol(a, v, c.dtype, c.dictionary)
             for (a, v), c in zip(out_cols, src)]
     names = [f.name for f in node.schema]
     return RTable(cols, names, out_mask, out_cap)
-
-
-def _null_cols_pairs(pairs, n):
-    return [(jnp.zeros((n,), a.dtype), jnp.zeros((n,), jnp.bool_))
-            for a, _ in pairs]
 
 
 def _cross_join(ex, node, left, right):
@@ -390,10 +382,10 @@ def _cross_join(ex, node, left, right):
     def compacted(rt):
         if rt.mask is None:
             return rt, rt.capacity
-        perm, count = mask_ops.compact_perm(rt.mask)
-        cols = [dataclasses.replace(
-            c, arr=c.arr[perm],
-            valid=None if c.valid is None else c.valid[perm]) for c in rt.cols]
+        arrs, valids, count = mask_ops.compact_cosort(
+            rt.mask, [c.arr for c in rt.cols], [c.valid for c in rt.cols])
+        cols = [dataclasses.replace(c, arr=a, valid=v)
+                for c, a, v in zip(rt.cols, arrs, valids)]
         n = int(jax.device_get(count))
         return RTable(cols, rt.names, None, rt.capacity), n
 
@@ -403,14 +395,16 @@ def _cross_join(ex, node, left, right):
     nr_rows = min(nr_rows, right.capacity)
     out_cap = pad_count(max(nl_rows * nr_rows, 1))
 
-    key = ("join_x", out_cap, nr_rows, _sig(left), _sig(right))
+    key = ("join_x", out_cap, nr_rows, nl_rows, _sig(left), _sig(right))
     fn = ex._jit_cache.get(key)
     if fn is None:
         @jax.jit
         def fn(l_arrs, l_valids, r_arrs, r_valids):
             j = jnp.arange(out_cap, dtype=jnp.int64)
-            li = jnp.clip(j // max(nr_rows, 1), 0, max(nl_rows - 1, 0)).astype(jnp.int32)
-            ri = jnp.clip(j % max(nr_rows, 1), 0, max(nr_rows - 1, 0)).astype(jnp.int32)
+            li = jnp.clip(j // max(nr_rows, 1), 0,
+                          max(nl_rows - 1, 0)).astype(jnp.int32)
+            ri = jnp.clip(j % max(nr_rows, 1), 0,
+                          max(nr_rows - 1, 0)).astype(jnp.int32)
             outs = []
             for a, v in zip(l_arrs, l_valids):
                 outs.append((a[li], None if v is None else v[li]))

@@ -32,7 +32,7 @@ from ..plan import logical as L
 from ..table import PAD, Column, DeviceTable, pad_count
 from ..ops import join_ops, masks
 from ..ops.aggregate import AggInput, grouped_aggregate, ungrouped_aggregate
-from ..ops.sort_ops import sort_perm
+from ..ops.sort_ops import sort_perm, sort_with_payload
 from .expr import EvalCtx, ExprPrep, VV, and_valid, merge_dicts
 from ..plan.logical import BScalarSubquery, walk_expr
 
@@ -82,10 +82,7 @@ class Executor:
             if fn is None:
                 @jax.jit
                 def fn(mask, arrs, valids):
-                    perm, count = masks.compact_perm(mask)
-                    out_arrs = [a[perm] for a in arrs]
-                    out_valids = [None if v is None else v[perm] for v in valids]
-                    return out_arrs, out_valids, count
+                    return masks.compact_cosort(mask, arrs, valids)
                 self._jit_cache[key] = fn
             out_arrs, out_valids, count = fn(
                 rt.mask, [c.arr for c in rt.cols], [c.valid for c in rt.cols])
@@ -278,10 +275,12 @@ class Executor:
                 (v.arr, v.valid, k.ascending, k.nulls_first)
                 for v, k in zip(vvs, keys)
             ]
-            perm = sort_perm(key_specs, mask)
-            out_arrs = [c.arr[perm] for c in rt.cols]
-            out_valids = [None if c.valid is None else c.valid[perm]
-                          for c in rt.cols]
+            payload = [c.arr for c in rt.cols] + \
+                      [c.valid for c in rt.cols]
+            sorted_payload = sort_with_payload(key_specs, mask, payload)
+            ncols = len(rt.cols)
+            out_arrs = sorted_payload[:ncols]
+            out_valids = sorted_payload[ncols:]
             alive = (jnp.sum(mask.astype(jnp.int32)) if mask is not None
                      else rt.capacity)
             new_mask = jnp.arange(rt.capacity) < alive

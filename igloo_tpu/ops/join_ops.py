@@ -102,17 +102,31 @@ def normalize_keys(cols: list[jax.Array]) -> tuple[jax.Array, bool]:
 # build phase
 # ---------------------------------------------------------------------------
 
-def build_side(key: jax.Array, joinable: jax.Array):
-    """Sort build rows (joinable first, by key); returns
-    (sorted_keys, perm, n_joinable). sorted_keys is globally sorted with
-    the dead tail rewritten to INT64_MAX."""
+def build_side(key: jax.Array, joinable: jax.Array, payload=()):
+    """Sort build rows (joinable first, by key), carrying payload columns
+    through the sort network (permute-then-gather is ~7× slower on TPU).
+
+    Returns (sorted_keys, perm, n_joinable, sorted_payload). sorted_keys
+    is globally sorted with the dead tail rewritten to the dtype max.
+    None entries in payload pass through as None.
+    """
     n = key.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     dead = (~joinable).astype(jnp.int32)
-    _, sk, perm = jax.lax.sort([dead, key, iota], num_keys=2, is_stable=True)
+    operands = [dead, key, iota]
+    slots = []
+    for p in payload:
+        if p is None:
+            slots.append(None)
+        else:
+            slots.append(len(operands))
+            operands.append(p)
+    out = jax.lax.sort(operands, num_keys=2, is_stable=True)
+    sk, perm = out[1], out[2]
+    sorted_payload = [None if s is None else out[s] for s in slots]
     nj = jnp.sum(joinable.astype(jnp.int32))
     sk = jnp.where(iota < nj, sk, _key_max(key.dtype))
-    return sk, perm, nj
+    return sk, perm, nj, sorted_payload
 
 
 # ---------------------------------------------------------------------------
@@ -150,10 +164,13 @@ def expand_matches(start: jax.Array, counts: jax.Array, out_cap: int):
     return probe_row, build_pos, slot_valid
 
 
-def unmatched_build_mask(sorted_keys: jax.Array, n_joinable, perm: jax.Array,
-                         other_key: jax.Array, other_joinable: jax.Array):
-    """For RIGHT/FULL joins: mask (original build row order) of joinable
-    build rows whose key never occurs among the other side's joinable keys."""
+def unmatched_build_mask_sorted(sorted_keys: jax.Array, n_joinable,
+                                other_key: jax.Array,
+                                other_joinable: jax.Array):
+    """For RIGHT/FULL joins: mask in SORTED build order of joinable build
+    rows whose key never occurs among the other side's joinable keys.
+    (Sorted order avoids the scatter back to original row order — callers
+    emit unmatched rows from the co-sorted payload.)"""
     nb = sorted_keys.shape[0]
     iota_o = jnp.arange(other_key.shape[0], dtype=jnp.int32)
     dead_o = (~other_joinable).astype(jnp.int32)
@@ -163,5 +180,4 @@ def unmatched_build_mask(sorted_keys: jax.Array, n_joinable, perm: jax.Array,
     pos = jnp.searchsorted(so, sorted_keys, side="left")
     hit = (pos < n_other) & (so[jnp.clip(pos, 0, so.shape[0] - 1)] == sorted_keys)
     alive_build = jnp.arange(nb) < n_joinable
-    unmatched_sorted = alive_build & ~hit
-    return jnp.zeros((nb,), jnp.bool_).at[perm].set(unmatched_sorted)
+    return alive_build & ~hit

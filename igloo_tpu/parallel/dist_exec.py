@@ -653,17 +653,28 @@ class DistFragment:
             if v is not None:
                 rj = rj & v
 
-        sk, perm_b, njb = join_ops.build_side(rkey, rj)
+        # co-sort build payload (columns + flags + verify keys) with keys
+        payload = [c.arr for c in rt.cols] + [c.valid for c in rt.cols]             + [rt.alive, rj]
+        if not exact:
+            payload += [a for a, _ in r_keys]
+        sk, perm_b, njb, sp = join_ops.build_side(rkey, rj, payload)
+        ncr = len(rt.cols)
+        sb_arrs = sp[:ncr]
+        sb_valids = sp[ncr:2 * ncr]
+        sb_alive, sb_joinable = sp[2 * ncr], sp[2 * ncr + 1]
+        sb_verify = sp[2 * ncr + 2:] if not exact else None
+
         start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
         inner_cap = pad_count(lt.cap * self.join_factor)
         probe_row, build_pos, slot_valid = join_ops.expand_matches(
             start, counts, inner_cap)
         total = jnp.sum(counts.astype(jnp.int64))
         self._overflow_flags.append(total > inner_cap)
-        bpos = perm_b[jnp.clip(build_pos, 0, perm_b.shape[0] - 1)]
+        nb = rt.cap
+        bpos = jnp.clip(build_pos, 0, nb - 1)
         if not exact:
             ok = None
-            for (la, _), (ra, _) in zip(l_keys, r_keys):
+            for (la, _), ra in zip(l_keys, sb_verify):
                 eq = la[probe_row] == ra[bpos]
                 ok = eq if ok is None else (ok & eq)
             slot_valid = slot_valid & ok
@@ -671,12 +682,15 @@ class DistFragment:
         segments = []
         seg_masks = [slot_valid]
 
-        def gather_cols(cols, idx):
+        def gather_l(idx):
             return [(c.arr[idx], None if c.valid is None else c.valid[idx])
-                    for c in cols]
+                    for c in lt.cols]
 
-        segments.append((gather_cols(lt.cols, probe_row),
-                         gather_cols(rt.cols, bpos)))
+        def gather_b(idx):
+            return [(a[idx], None if v is None else v[idx])
+                    for a, v in zip(sb_arrs, sb_valids)]
+
+        segments.append((gather_l(probe_row), gather_b(bpos)))
         if kind in (JoinKind.LEFT, JoinKind.FULL):
             seg_masks.append(lt.alive & (counts == 0))
             segments.append((
@@ -684,13 +698,13 @@ class DistFragment:
                 [(jnp.zeros((lt.cap,), c.arr.dtype),
                   jnp.zeros((lt.cap,), jnp.bool_)) for c in rt.cols]))
         if kind in (JoinKind.RIGHT, JoinKind.FULL):
-            unmatched_j = join_ops.unmatched_build_mask(sk, njb, perm_b,
-                                                        lkey, lj)
-            seg_masks.append((rt.alive & ~rj) | unmatched_j)
+            unmatched_j = join_ops.unmatched_build_mask_sorted(sk, njb,
+                                                               lkey, lj)
+            seg_masks.append(unmatched_j | (sb_alive & ~sb_joinable))
             segments.append((
                 [(jnp.zeros((rt.cap,), c.arr.dtype),
                   jnp.zeros((rt.cap,), jnp.bool_)) for c in lt.cols],
-                [(c.arr, c.valid) for c in rt.cols]))
+                [(a, v) for a, v in zip(sb_arrs, sb_valids)]))
 
         ncl = len(lt.cols)
         out_cols = []
