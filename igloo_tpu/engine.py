@@ -177,6 +177,17 @@ class QueryEngine:
 
     # ================= introspection =================
 
+    def profile(self, sql: str, log_dir: str = "/tmp/igloo_trace") -> str:
+        """Execute under jax.profiler; returns the trace directory
+        (open with Perfetto / TensorBoard). Operators appear as
+        `igloo.<Op>` named scopes — SURVEY §5's per-operator kernel-time
+        attribution."""
+        import jax
+
+        with jax.profiler.trace(log_dir):
+            self.sql(sql)
+        return log_dir
+
     def explain(self, sql: str) -> str:
         stmt = self._parse_cached(sql)
         q = stmt.query if isinstance(stmt, ast.Explain) else stmt

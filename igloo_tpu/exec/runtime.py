@@ -334,6 +334,11 @@ class Executor:
         prep_exprs = group_exprs + [a.arg for a in agg_specs if a.arg is not None]
         max_groups = _group_bound(rt, group_exprs)
 
+        mxu = _mxu_agg_plan(rt, group_exprs, agg_specs)
+        if mxu is not None:
+            return self._run_aggregate_mxu(node, rt, group_exprs, agg_specs,
+                                           prep_exprs, mxu)
+
         def body(ctx, vvs, mask):
             gvv = vvs[:len(group_exprs)]
             it = iter(vvs[len(group_exprs):])
@@ -365,6 +370,77 @@ class Executor:
                              spec.out_dtype, None))
             names.append(spec.out_name)
         return RTable(cols, names, new_mask, max_groups)
+
+    def _run_aggregate_mxu(self, node, rt, group_exprs, agg_specs,
+                           prep_exprs, mxu):
+        """Dense-small-key GROUP BY on the MXU (ops/pallas/groupby_mxu.py).
+
+        Output: one row per value in the key span (sparse mask = groups
+        with rows); keys are lo + arange(G)."""
+        from ..ops.pallas.groupby_mxu import groupby_onehot_sums
+
+        lo, span, g_pad = mxu
+        interpret = jax.default_backend() != "tpu"
+
+        def body(ctx, vvs, mask):
+            key = vvs[0]
+            alive = mask if mask is not None else jnp.ones((rt.capacity,),
+                                                           jnp.bool_)
+            slot = jnp.where(alive, key.arr.astype(jnp.int32) - lo, g_pad)
+            slot = jnp.where((slot >= 0) & (slot < span), slot, g_pad)
+            it = iter(vvs[1:])
+            cols = [alive.astype(jnp.float32)]          # presence / count(*)
+            plan = []                                   # (agg, kind, col idx…)
+            for a in agg_specs:
+                if a.arg is None:
+                    plan.append((a, "count_star", 0, None))
+                    continue
+                v = next(it)
+                w = alive if v.valid is None else (alive & v.valid)
+                wf = w.astype(jnp.float32)
+                if a.func == "count":
+                    cols.append(wf)
+                    plan.append((a, "count", len(cols) - 1, None))
+                else:  # sum / avg: value column + valid-count column
+                    cols.append(jnp.where(w, v.arr, 0).astype(jnp.float32))
+                    cols.append(wf)
+                    plan.append((a, a.func, len(cols) - 2, len(cols) - 1))
+            contribs = jnp.stack(cols, axis=1)
+            sums = groupby_onehot_sums(slot, contribs, g_pad,
+                                       interpret=interpret)
+            presence = sums[:, 0]
+            out_aggs = []
+            for a, kind, ci, cj in plan:
+                if kind == "count_star":
+                    out_aggs.append((presence.astype(jnp.int64), None))
+                elif kind == "count":
+                    out_aggs.append((sums[:, ci].astype(jnp.int64), None))
+                elif kind == "sum":
+                    cnt = sums[:, cj]
+                    out_aggs.append((sums[:, ci].astype(jnp.int64), cnt > 0))
+                else:  # avg
+                    cnt = sums[:, cj]
+                    out_aggs.append((sums[:, ci] / jnp.maximum(cnt, 1.0),
+                                     cnt > 0))
+            key_vals = (lo + jnp.arange(g_pad, dtype=jnp.int64)).astype(
+                vvs[0].arr.dtype)
+            new_mask = presence > 0
+            return key_vals, out_aggs, new_mask
+
+        (key_vals, out_aggs, new_mask), prep = self._eval_program(
+            rt, prep_exprs, "agg_mxu", body)
+
+        cols = []
+        names = []
+        kf = node.schema[0]
+        d = prep.out_dict(group_exprs[0]) if kf.dtype.is_string else None
+        cols.append(RCol(_cast_physical(key_vals, kf.dtype), None, kf.dtype, d))
+        names.append(kf.name)
+        for (arr, valid), spec in zip(out_aggs, agg_specs):
+            cols.append(RCol(_cast_physical(arr, spec.out_dtype), valid,
+                             spec.out_dtype, None))
+            names.append(spec.out_name)
+        return RTable(cols, names, new_mask, key_vals.shape[0])
 
     def _aggregate_impl(self, rt, group_exprs, agg_specs, names, dtypes, dicts):
         """Distinct via grouping on all columns."""
@@ -444,6 +520,56 @@ def _cast_physical(arr, dtype: SqlType):
     if arr.dtype != np.dtype(want) and arr.dtype != want:
         return arr.astype(want)
     return arr
+
+
+def _mxu_agg_plan(rt: RTable, group_exprs, agg_specs):
+    """Static gate for the MXU one-hot aggregation kernel:
+    single non-nullable dense-small-span key + count/sum/avg aggregates
+    whose integer bounds keep the digit decomposition exact.
+    Returns (lo, span, g_pad) or None."""
+    import os
+
+    from ..ops.pallas.groupby_mxu import supported_span_aggs
+    from ..table import pad_count
+
+    if os.environ.get("IGLOO_DISABLE_MXU_AGG"):
+        return None
+    if len(group_exprs) != 1:
+        return None
+    g = group_exprs[0]
+    if not isinstance(g, L.BColumn) or g.index >= len(rt.cols):
+        return None
+    col = rt.cols[g.index]
+    if col.valid is not None:          # nullable keys → sort path (null group)
+        return None
+    if col.dictionary is not None:
+        lo, span = 0, max(len(col.dictionary), 1)
+    elif col.stats is not None and col.dtype.is_integer:
+        lo, hi = col.stats
+        span = hi - lo + 1
+    else:
+        return None
+    if not (0 < span <= 4096):
+        return None
+    funcs, dtypes, bounds = [], [], []
+    for a in agg_specs:
+        if a.distinct:
+            return None
+        funcs.append(a.func)
+        if a.arg is None:
+            dtypes.append(None)
+            bounds.append(None)
+            continue
+        dtypes.append(a.arg.dtype)
+        b = None
+        if isinstance(a.arg, L.BColumn) and a.arg.index < len(rt.cols):
+            st = rt.cols[a.arg.index].stats
+            if st is not None:
+                b = max(abs(st[0]), abs(st[1]))
+        bounds.append(b)
+    if not supported_span_aggs(funcs, dtypes, bounds, rt.capacity):
+        return None
+    return lo, span, pad_count(span, 8)
 
 
 def _group_bound(rt: RTable, group_exprs) -> int:
