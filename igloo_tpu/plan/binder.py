@@ -15,10 +15,11 @@ from ..errors import BindError, NotSupportedError
 from ..functions import FunctionRegistry
 from ..sql import ast
 from .logical import (
-    AGG_FUNCS, AggSpec, BBinary, BCase, BCast, BColumn, BExpr, BInList,
+    AGG_FUNCS, WINDOW_FUNCS, AggSpec, BBinary, BCase, BCast, BColumn, BExpr, BInList,
     BIsDistinctFrom, BIsNull, BLike, BLiteral, BScalarFunc, BScalarSubquery,
     BStringFunc, BUnary, Distinct, Field, Filter, Join, Limit, LogicalPlan,
-    Projection, Scan, Sort, SortKey, Union, Values, walk_expr,
+    Projection, Scan, Sort, SortKey, Union, Values, Window, WindowFuncSpec,
+    walk_expr,
 )
 
 _TYPE_NAMES = {
@@ -192,6 +193,23 @@ class Binder:
         if having is not None:
             plan = Filter(plan, having)
 
+        # ---- window functions ----
+        win_calls: list[ast.WindowCall] = []
+
+        def collect_windows(e):
+            if isinstance(e, ast.WindowCall):
+                if e not in win_calls:
+                    win_calls.append(e)
+                return
+            for c in _ast_children(e):
+                collect_windows(c)
+
+        for e, _ in items:
+            collect_windows(e)
+        if win_calls:
+            plan, scope, items = self._bind_window(plan, scope, items,
+                                                   win_calls)
+
         # ---- projection ----
         proj_exprs = [self.bind_expr(e, scope) for e, _ in items]
         out_fields = [
@@ -326,13 +344,99 @@ class Binder:
         def rebind(e: ast.Expr) -> BExpr:
             return self.bind_expr(rewrite(e), agg_scope)
 
-        new_items = []
-        for e, name in items:
-            new_items.append((_PreBound(rebind(e)), name))
+        # items keep their (rewritten) AST form: window binding still needs
+        # to see WindowCall nodes; final binding happens at projection time
+        new_items = [(rewrite(e), name) for e, name in items]
         having = rebind(sel.having) if sel.having is not None else None
 
         new_scope = Scope(list(agg_schema))
         return plan, new_scope, new_items, having, rebind
+
+    def _bind_window(self, plan, scope, items, win_calls):
+        first = win_calls[0]
+        for w in win_calls[1:]:
+            if (w.partition_by != first.partition_by
+                    or w.order_by != first.order_by):
+                raise NotSupportedError(
+                    "all window functions in one SELECT must share the same "
+                    "PARTITION BY / ORDER BY clause (for now)")
+        partition = tuple(self.bind_expr(e, scope) for e in first.partition_by)
+        order_keys = tuple(self._bind_order_item(o, scope, None)
+                           for o in first.order_by)
+
+        specs = []
+        for j, w in enumerate(win_calls):
+            name = w.func
+            out_name = f"__win_{j}"
+            if name in ("row_number", "rank", "dense_rank"):
+                if w.args:
+                    raise BindError(f"{name}() takes no arguments")
+                if name != "row_number" and not order_keys:
+                    raise BindError(f"{name}() requires ORDER BY")
+                specs.append(WindowFuncSpec(name, None, 0, out_name,
+                                            SqlType.INT64, False))
+            elif name in ("lag", "lead"):
+                if not (1 <= len(w.args) <= 2):
+                    raise BindError(f"{name}(expr [, offset])")
+                if not order_keys:
+                    raise BindError(f"{name}() requires ORDER BY")
+                arg = self.bind_expr(w.args[0], scope)
+                off = 1
+                if len(w.args) == 2:
+                    lit = w.args[1]
+                    if not (isinstance(lit, ast.Literal)
+                            and isinstance(lit.value, int)):
+                        raise BindError(f"{name}() offset must be an "
+                                        "integer literal")
+                    off = lit.value
+                specs.append(WindowFuncSpec(name, arg, off, out_name,
+                                            arg.dtype, True))
+            elif name in ("first_value", "last_value"):
+                if len(w.args) != 1:
+                    raise BindError(f"{name}(expr)")
+                arg = self.bind_expr(w.args[0], scope)
+                specs.append(WindowFuncSpec(name, arg, 0, out_name,
+                                            arg.dtype, True))
+            elif name in ("sum", "count", "avg", "min", "max"):
+                if name == "count" and len(w.args) == 1                         and isinstance(w.args[0], ast.Star):
+                    specs.append(WindowFuncSpec("count_star", None, 0,
+                                                out_name, SqlType.INT64,
+                                                False))
+                    continue
+                if len(w.args) != 1:
+                    raise BindError(f"window {name}() takes one argument")
+                arg = self.bind_expr(w.args[0], scope)
+                if name == "count":
+                    dt, nl = SqlType.INT64, False
+                elif name == "sum":
+                    dt = (SqlType.INT64 if arg.dtype.is_integer
+                          else SqlType.FLOAT64)
+                    nl = True
+                elif name == "avg":
+                    dt, nl = SqlType.FLOAT64, True
+                else:
+                    dt, nl = arg.dtype, True
+                specs.append(WindowFuncSpec(name, arg, 0, out_name, dt, nl))
+            else:
+                raise NotSupportedError(f"window function {name}()")
+
+        base = len(scope.fields)
+        win_fields = [Field(s.out_name, s.out_dtype, s.out_nullable)
+                      for s in specs]
+        schema = tuple(scope.fields) + tuple(win_fields)
+        plan = Window(plan, partition, order_keys, tuple(specs), schema)
+        new_scope = Scope(list(schema))
+
+        def rewrite(e):
+            if isinstance(e, ast.WindowCall):
+                j = win_calls.index(e)
+                f = win_fields[j]
+                return _PreBound(BColumn(f.dtype, f.nullable, base + j,
+                                         f.name))
+            return _rebuild_ast(e, [rewrite(c) for c in _ast_children(e)])
+
+        new_items = [(rewrite(e), name) for e, name in items]
+        return plan, new_scope, new_items
 
     def _bind_agg_call(self, fc: ast.FunctionCall, scope: Scope, out_name: str) -> AggSpec:
         name = fc.name
@@ -701,6 +805,9 @@ class Binder:
                 raise BindError("scalar subquery must return one column")
             f = sub.schema[0]
             return BScalarSubquery(f.dtype, True, sub)
+        if isinstance(e, ast.WindowCall):
+            raise BindError(
+                "window functions are only allowed in the SELECT list")
         if isinstance(e, (ast.Exists, ast.InSubquery)):
             raise NotSupportedError(
                 f"{type(e).__name__} is not supported yet; rewrite as a JOIN")
@@ -837,6 +944,13 @@ def _rebuild_ast(e: ast.Expr, children: list) -> ast.Expr:
         return ast.Like(next(it), next(it), e.negated, e.case_insensitive)
     if isinstance(e, ast.FunctionCall):
         return ast.FunctionCall(e.name, tuple(it), e.distinct)
+    if isinstance(e, ast.WindowCall):
+        args = tuple(next(it) for _ in e.args)
+        part = tuple(next(it) for _ in e.partition_by)
+        order = tuple(
+            ast.OrderItem(next(it), o.ascending, o.nulls_first)
+            for o in e.order_by)
+        return ast.WindowCall(e.func, args, part, order)
     if isinstance(e, ast.Cast):
         return ast.Cast(next(it), e.type_name, e.safe)
     if isinstance(e, ast.Case):
@@ -898,6 +1012,8 @@ def _ast_children(e: ast.Expr) -> tuple:
         return (e.operand, e.pattern)
     if isinstance(e, ast.FunctionCall):
         return e.args
+    if isinstance(e, ast.WindowCall):
+        return e.args + e.partition_by + tuple(o.expr for o in e.order_by)
     if isinstance(e, ast.Cast):
         return (e.operand,)
     if isinstance(e, ast.Case):

@@ -335,6 +335,45 @@ class Union(LogicalPlan):
         return f"Union({'ALL' if self.all else 'DISTINCT'}, {len(self.inputs)} inputs)"
 
 
+WINDOW_FUNCS = ("row_number", "rank", "dense_rank", "lag", "lead",
+                "first_value", "last_value", "sum", "count", "avg",
+                "min", "max")
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowFuncSpec:
+    func: str
+    arg: Optional[BExpr]          # None for row_number/rank/dense_rank
+    offset: int                   # lag/lead distance
+    out_name: str
+    out_dtype: SqlType
+    out_nullable: bool
+
+
+@dataclasses.dataclass
+class Window(LogicalPlan):
+    """Window computation: appends one column per window function.
+
+    All functions share one (PARTITION BY, ORDER BY) clause; output row
+    order is unspecified (rows come back partition-sorted), matching SQL.
+    Default frame semantics: with ORDER BY, RANGE UNBOUNDED PRECEDING →
+    CURRENT ROW (running, peers included); without, the whole partition.
+    """
+    input: LogicalPlan
+    partition_exprs: tuple        # (BExpr, ...)
+    order_keys: tuple             # (SortKey, ...)
+    specs: tuple                  # (WindowFuncSpec, ...)
+    schema: Schema                # input schema ++ window fields
+
+    def children(self):
+        return [self.input]
+
+    def _describe(self):
+        return (f"Window([{', '.join(s.func for s in self.specs)}], "
+                f"partitions={len(self.partition_exprs)}, "
+                f"order={len(self.order_keys)})")
+
+
 # --------------------------------------------------------------------------
 # expression tree utilities
 # --------------------------------------------------------------------------

@@ -126,6 +126,17 @@ class Case(Expr):
 
 
 @dataclasses.dataclass(frozen=True)
+class WindowCall(Expr):
+    func: str                   # lower-cased window/aggregate function
+    args: tuple
+    partition_by: tuple = ()
+    order_by: tuple = ()        # (OrderItem, ...)
+
+    def __repr__(self):
+        return f"{self.func}(...) OVER(...)"
+
+
+@dataclasses.dataclass(frozen=True)
 class ScalarSubquery(Expr):
     query: "Select"
 

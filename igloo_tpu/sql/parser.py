@@ -488,7 +488,27 @@ class Parser:
                         while self.accept(Tok.COMMA):
                             args.append(self.parse_expr())
                     self.expect(Tok.RPAREN)
-                return ast.FunctionCall(name.lower(), tuple(args), distinct=distinct)
+                fc = ast.FunctionCall(name.lower(), tuple(args),
+                                      distinct=distinct)
+                if self.peek().is_kw("over"):
+                    self.next()
+                    self.expect(Tok.LPAREN)
+                    partition_by: list = []
+                    order_by: list = []
+                    if self.accept_kw("partition"):
+                        self.expect_kw("by")
+                        partition_by.append(self.parse_expr())
+                        while self.accept(Tok.COMMA):
+                            partition_by.append(self.parse_expr())
+                    if self.peek().is_kw("order"):
+                        self.next()
+                        self.expect_kw("by")
+                        order_by = self.parse_order_items()
+                    self.expect(Tok.RPAREN)
+                    return ast.WindowCall(fc.name, fc.args,
+                                          tuple(partition_by),
+                                          tuple(order_by))
+                return fc
             # qualified column
             if self.peek().kind is Tok.DOT:
                 self.next()

@@ -32,6 +32,7 @@ KEYWORDS = {
     "on", "using", "union", "all", "intersect", "except", "distinct",
     "asc", "desc", "nulls", "first", "last", "true", "false", "with",
     "exists", "explain", "analyze", "show", "tables", "create", "table",
+    "over", "partition",
     "drop", "if", "values",
 }
 
