@@ -349,7 +349,7 @@ class Binder:
         new_items = [(rewrite(e), name) for e, name in items]
         having = rebind(sel.having) if sel.having is not None else None
 
-        new_scope = Scope(list(agg_schema))
+        new_scope = _AggOutScope(list(agg_schema))
         return plan, new_scope, new_items, having, rebind
 
     def _bind_window(self, plan, scope, items, win_calls):
@@ -911,6 +911,19 @@ class _PreBound(ast.Expr):
     """Wrapper carrying an already-bound expression through item lists."""
     def __init__(self, bound: BExpr):
         self.bound = bound
+
+
+class _AggOutScope(Scope):
+    """Post-aggregate scope: resolves group/agg output columns by name;
+    anything else gets the GROUP BY hint."""
+
+    def resolve(self, name, table):
+        try:
+            return super().resolve(name, table)
+        except BindError as e:
+            raise BindError(
+                f"column {name!r} must appear in GROUP BY or inside an "
+                f"aggregate ({e})")
 
 
 class _AggScope(Scope):
