@@ -123,12 +123,18 @@ def execute_join(ex, node: L.Join, left, right):
                 roff = jnp.clip(rkey - lo, 0, span - 1).astype(jnp.int32)
                 cnt = jnp.zeros((span + 1,), jnp.int32).at[roff + 1].add(
                     rj.astype(jnp.int32), mode="drop")
-                cum = jnp.cumsum(cnt).astype(jnp.int32)
+                cum = jnp.cumsum(cnt)
+                # pack (start, per-value count) into ONE int64 table so a
+                # probe row costs a single random gather
+                packed = ((cum[:-1].astype(jnp.int64) << 32)
+                          | (cum[1:] - cum[:-1]).astype(jnp.int64))
                 loff = lkey.astype(jnp.int64) - lo
                 in_range = (loff >= 0) & (loff < span) & lj
                 lc = jnp.clip(loff, 0, span - 1).astype(jnp.int32)
-                start = cum[lc]
-                counts = jnp.where(in_range, cum[lc + 1] - start, 0)
+                hit = packed[lc]
+                start = (hit >> 32).astype(jnp.int32)
+                counts = jnp.where(in_range,
+                                   (hit & 0xFFFFFFFF).astype(jnp.int32), 0)
             else:
                 start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
             total = jnp.sum(counts.astype(jnp.int64))
