@@ -33,7 +33,8 @@ from .table import DeviceTable
 
 class QueryEngine:
     def __init__(self, device=None, result_cache: bool = True,
-                 session_config: Optional[Mapping[str, str]] = None):
+                 session_config: Optional[Mapping[str, str]] = None,
+                 fused: bool = True):
         self.device = device
         self.catalog = Catalog()
         self.functions = FunctionRegistry()
@@ -44,6 +45,15 @@ class QueryEngine:
         self._epoch = 0
         self._lock = threading.RLock()
         self.session_config = dict(session_config or {})
+        # fused mode: distributable plan subtrees compile into ONE XLA
+        # program (over a trivial 1-device mesh) instead of one program
+        # per operator — host round trips are the latency floor of small
+        # queries (SURVEY §7 "XLA-side pipeline compiler")
+        self.fused = fused
+        self.mesh = None                     # lazily built (1-device)
+        self._ptables: dict = {}
+        self._frag_cache: dict = {}
+        self._tmp_counter = 0
 
     # ================= registration =================
 
@@ -103,6 +113,8 @@ class QueryEngine:
     def _bump(self):
         self._epoch += 1
         self._plan_cache.clear()
+        self._ptables.clear()
+        self._frag_cache.clear()
 
     # ================= execution =================
 
@@ -136,6 +148,8 @@ class QueryEngine:
 
     def _execute_statement(self, stmt, sql: str) -> DeviceTable:
         if isinstance(stmt, (ast.Select, ast.SetOp)):
+            if self.fused:
+                return self._execute_fused(stmt, sql)
             plan = self._plan(stmt, sql)
             return self.executor.execute(plan)
         if isinstance(stmt, ast.Explain):
@@ -174,6 +188,123 @@ class QueryEngine:
             plan = optimize(binder.bind(query))
             self._plan_cache[key] = plan
         return plan
+
+    # ================= fused execution =================
+
+    def _get_mesh(self):
+        if self.mesh is None:
+            import jax
+
+            from .parallel.mesh import make_mesh
+            dev = self.device or jax.devices()[0]
+            self.mesh = make_mesh((1,), devices=[dev])
+        return self.mesh
+
+    def _ptable(self, name: str):
+        from .parallel.partition import PartitionedTable
+        key = name.lower()
+        pt = self._ptables.get(key)
+        if pt is None:
+            dt = self.catalog.get_table(name)
+            pt = PartitionedTable.from_device_table(dt, self._get_mesh())
+            self._ptables[key] = pt
+        return pt
+
+    def _execute_fused(self, stmt, sql: str) -> DeviceTable:
+        import copy
+
+        plan = copy.deepcopy(self._plan(stmt, sql))
+        tmp_before = self._tmp_counter
+        try:
+            out = self._split_and_run(plan)
+            if isinstance(out, DeviceTable):
+                return out
+            if out is None:           # host-fallback case (empty ungrouped agg)
+                return self.executor.execute(
+                    copy.deepcopy(self._plan(stmt, sql)))
+            return self.executor.execute(out)
+        finally:
+            for i in range(tmp_before + 1, self._tmp_counter + 1):
+                self.catalog.deregister(f"__frag_{i}")
+
+    def _split_and_run(self, plan):
+        """Run maximal distributable subtrees as single fused programs;
+        replace them with temp scans for the operator-at-a-time tail."""
+        from .parallel.dist_exec import subtree_distributable
+        from .plan import logical as L
+
+        if subtree_distributable(plan):
+            out = self._run_fragment(plan)
+            if self._needs_host_fallback(plan, out):
+                return None
+            return out
+
+        def replace_children(node):
+            for attr in ("input", "left", "right"):
+                child = getattr(node, attr, None)
+                if isinstance(child, L.LogicalPlan):
+                    if subtree_distributable(child):
+                        result = self._run_fragment(child)
+                        if result is not None and not \
+                                self._needs_host_fallback(child, result):
+                            setattr(node, attr, self._as_scan(child, result))
+                            continue
+                    replace_children(child)
+            if isinstance(node, L.Union):
+                new_inputs = []
+                for child in node.inputs:
+                    if subtree_distributable(child):
+                        result = self._run_fragment(child)
+                        if result is not None:
+                            new_inputs.append(self._as_scan(child, result))
+                            continue
+                    replace_children(child)
+                    new_inputs.append(child)
+                node.inputs = tuple(new_inputs)
+            return node
+
+        return replace_children(plan)
+
+    def _needs_host_fallback(self, plan, result: DeviceTable) -> bool:
+        from .plan import logical as L
+        node = plan
+        while isinstance(node, (L.Projection, L.Filter)):
+            node = node.input
+        return (isinstance(node, L.Aggregate) and not node.group_exprs
+                and result.nrows == 0)
+
+    def _run_fragment(self, plan) -> DeviceTable:
+        from .parallel.dist_exec import DistFragment
+        from .plan import logical as L
+
+        ptables = {}
+
+        def scans(node):
+            if isinstance(node, L.Scan):
+                ptables[node.table.lower()] = self._ptable(node.table)
+            for c in node.children():
+                scans(c)
+
+        scans(plan)
+        frag = self._frag_cache.get(id(plan))
+        if frag is None or frag.ptables != ptables:
+            frag = DistFragment(self._get_mesh(), ptables, self.functions)
+            self._frag_cache[id(plan)] = frag
+        return frag.run(plan).to_device_table()
+
+    def _as_scan(self, child, result: DeviceTable):
+        import dataclasses as _dc
+
+        from .catalog import MemoryProvider
+        from .plan import logical as L
+
+        self._tmp_counter += 1
+        name = f"__frag_{self._tmp_counter}"
+        self.catalog.register(name, MemoryProvider(result))
+        fields = []
+        for (col_name, _), f in zip(result.schema(), child.schema):
+            fields.append(_dc.replace(f, name=col_name))
+        return L.Scan(name, tuple(fields))
 
     # ================= introspection =================
 

@@ -725,9 +725,14 @@ def _cast_physical(arr, dtype: SqlType):
 
 
 def _mxu_agg_plan(rt: RTable, group_exprs, agg_specs):
+    return mxu_agg_gate(rt.cols, rt.capacity, group_exprs, agg_specs)
+
+
+def mxu_agg_gate(cols, capacity, group_exprs, agg_specs):
     """Static gate for the MXU one-hot aggregation kernel:
     single non-nullable dense-small-span key + count/sum/avg aggregates
     whose integer bounds keep the digit decomposition exact.
+    cols: objects with .valid/.dtype/.dictionary/.stats (RCol or SCol).
     Returns (lo, span, g_pad) or None."""
     import os
 
@@ -739,9 +744,9 @@ def _mxu_agg_plan(rt: RTable, group_exprs, agg_specs):
     if len(group_exprs) != 1:
         return None
     g = group_exprs[0]
-    if not isinstance(g, L.BColumn) or g.index >= len(rt.cols):
+    if not isinstance(g, L.BColumn) or g.index >= len(cols):
         return None
-    col = rt.cols[g.index]
+    col = cols[g.index]
     if col.valid is not None:          # nullable keys → sort path (null group)
         return None
     if col.dictionary is not None:
@@ -764,12 +769,12 @@ def _mxu_agg_plan(rt: RTable, group_exprs, agg_specs):
             continue
         dtypes.append(a.arg.dtype)
         b = None
-        if isinstance(a.arg, L.BColumn) and a.arg.index < len(rt.cols):
-            st = rt.cols[a.arg.index].stats
+        if isinstance(a.arg, L.BColumn) and a.arg.index < len(cols):
+            st = cols[a.arg.index].stats
             if st is not None:
                 b = max(abs(st[0]), abs(st[1]))
         bounds.append(b)
-    if not supported_span_aggs(funcs, dtypes, bounds, rt.capacity):
+    if not supported_span_aggs(funcs, dtypes, bounds, capacity):
         return None
     return lo, span, pad_count(span, 8)
 

@@ -101,6 +101,7 @@ class SCol:
     valid: object
     dtype: SqlType
     dictionary: Optional[np.ndarray]
+    stats: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -131,6 +132,7 @@ class DistFragment:
         self._preps: dict[int, ExprPrep] = {}
         self._scan_inputs: list = []     # (arrays…) appended during host prep
         self._overflows: list = []       # traced overflow flags
+        self._compiled: dict = {}        # (factors) -> prepared runner
 
     # ---------- host phase ----------
 
@@ -141,7 +143,7 @@ class DistFragment:
                 return self._run_once(plan)
             except _OverflowRetry as r:
                 attempt += 1
-                if attempt > 4:
+                if attempt > 6:
                     raise ExecutionError(
                         "distributed shuffle/join capacity overflow persisted "
                         "after 4 retries — data too skewed for configured "
@@ -150,32 +152,39 @@ class DistFragment:
                 self.join_factor *= 2
 
     def _run_once(self, plan: L.LogicalPlan) -> PartitionedTable:
-        self._preps.clear()
-        self._scan_inputs = []
-        dict_env: dict[int, list] = {}
-        self._host_prepare(plan, dict_env)
+        cache_key = (self.shuffle_factor, self.join_factor)
+        entry = self._compiled.get(cache_key)
+        if entry is None:
+            self._preps.clear()
+            self._scan_inputs = []
+            dict_env: dict[int, list] = {}
+            self._host_prepare(plan, dict_env)
 
-        scan_nodes = self._collect_scans(plan)
-        in_arrays = []
-        in_specs = []
-        for node in scan_nodes:
-            pt = self.ptables[node.table.lower()]
-            for f in node.schema:
-                c = pt.cols[f.name]
-                in_arrays.append(c.data)
-                in_specs.append(P("d", None))
-                in_arrays.append(c.valid)
-                in_specs.append(P("d", None) if c.valid is not None else None)
-            in_arrays.append(pt.counts)
-            in_specs.append(P("d"))
+            scan_nodes = self._collect_scans(plan)
+            in_arrays = []
+            in_specs = []
+            for node in scan_nodes:
+                pt = self.ptables[node.table.lower()]
+                for f in node.schema:
+                    c = pt.cols[f.name]
+                    in_arrays.append(c.data)
+                    in_specs.append(P("d", None))
+                    in_arrays.append(c.valid)
+                    in_specs.append(P("d", None) if c.valid is not None
+                                    else None)
+                in_arrays.append(pt.counts)
+                in_specs.append(P("d"))
 
-        aux_arrays = []
-        for prep in self._preps.values():
-            for a in prep.aux_arrays:
-                aux_arrays.append(jnp.asarray(a))
+            aux_arrays = []
+            for prep in self._preps.values():
+                for a in prep.aux_arrays:
+                    aux_arrays.append(jnp.asarray(a))
 
-        compiled = self._build_program(plan, scan_nodes, in_specs,
-                                       [a.shape for a in aux_arrays])
+            compiled = self._build_program(plan, scan_nodes, in_specs,
+                                           [a.shape for a in aux_arrays])
+            entry = (compiled, in_arrays, aux_arrays, dict_env)
+            self._compiled[cache_key] = entry
+        compiled, in_arrays, aux_arrays, dict_env = entry
         out_arrs, out_valids, out_counts, overflow = compiled(
             in_arrays, aux_arrays)
 
@@ -295,7 +304,8 @@ class DistFragment:
                     valid = valid[0] if valid is not None else None
                     pt = self.ptables[node.table.lower()]
                     cols.append(SCol(data, valid, f.dtype,
-                                     pt.cols[f.name].dictionary))
+                                     pt.cols[f.name].dictionary,
+                                     getattr(pt.cols[f.name], "stats", None)))
                     names.append(f.name)
                 count = next(it)[0]
                 cap = cols[0].arr.shape[0] if cols else 0
@@ -382,8 +392,10 @@ class DistFragment:
             for e, f in zip(node.exprs, node.schema):
                 vv = self._eval(e, t, id(node))
                 d = prep.out_dict(e) if f.dtype.is_string else None
+                stats = (t.cols[e.index].stats
+                         if isinstance(e, L.BColumn) else None)
                 cols.append(SCol(vv.arr.astype(f.dtype.to_jax()), vv.valid,
-                                 f.dtype, d))
+                                 f.dtype, d, stats))
             return STable(cols, [f.name for f in node.schema], t.alive, t.cap)
         if isinstance(node, L.Aggregate):
             return self._exec_aggregate(node, env)
@@ -409,6 +421,27 @@ class DistFragment:
         prep_key = id(node)
         gvv = [self._eval(g, t, prep_key) for g in node.group_exprs]
         has_distinct = any(a.distinct for a in node.aggs)
+
+        if self.P == 1:
+            if node.group_exprs and not has_distinct:
+                from ..exec.runtime import mxu_agg_gate
+                mxu = mxu_agg_gate(t.cols, t.cap, node.group_exprs, node.aggs)
+                if mxu is not None:
+                    return self._exec_aggregate_mxu(node, t, prep_key, mxu)
+            # single shard: one local aggregate, no shuffle
+            if not node.group_exprs:
+                gvv = [VV(jnp.zeros((t.cap,), jnp.int32), None)]
+            inputs = []
+            for a in node.aggs:
+                if a.arg is None:
+                    inputs.append(AggInput(a.func, None, None, a.distinct))
+                else:
+                    v = self._eval(a.arg, t, prep_key)
+                    inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct))
+            out_keys, out_aggs, ngroups = grouped_aggregate(
+                [(v.arr, v.valid) for v in gvv], inputs, t.alive)
+            return self._assemble_agg(node, out_keys, out_aggs, ngroups,
+                                      t.cap)
 
         if not node.group_exprs:
             # ungrouped: constant key, same machinery, drop key at the end
@@ -535,6 +568,59 @@ class DistFragment:
         new_cap = self.P * dest_cap
         return self._assemble_agg(node, out_keys, out_aggs, ngroups, new_cap)
 
+    def _exec_aggregate_mxu(self, node, t: STable, prep_key, mxu) -> STable:
+        """Dense-small-key GROUP BY on the MXU (P==1 fast path)."""
+        from ..ops.pallas.groupby_mxu import groupby_onehot_sums
+
+        lo, span, g_pad = mxu
+        interpret = jax.default_backend() != "tpu"
+        key_vv = self._eval(node.group_exprs[0], t, prep_key)
+        alive = t.alive
+        slot = jnp.where(alive, key_vv.arr.astype(jnp.int32) - lo, g_pad)
+        slot = jnp.where((slot >= 0) & (slot < span), slot, g_pad)
+        cols = [alive.astype(jnp.float32)]
+        plan = []
+        for a in node.aggs:
+            if a.arg is None:
+                plan.append((a, "count_star", 0, None))
+                continue
+            v = self._eval(a.arg, t, prep_key)
+            w = alive if v.valid is None else (alive & v.valid)
+            wf = w.astype(jnp.float32)
+            if a.func == "count":
+                cols.append(wf)
+                plan.append((a, "count", len(cols) - 1, None))
+            else:
+                cols.append(jnp.where(w, v.arr, 0).astype(jnp.float32))
+                cols.append(wf)
+                plan.append((a, a.func, len(cols) - 2, len(cols) - 1))
+        contribs = jnp.stack(cols, axis=1)
+        sums = groupby_onehot_sums(slot, contribs, g_pad, interpret=interpret)
+        presence = sums[:, 0]
+        out_cols = [SCol((lo + jnp.arange(g_pad, dtype=jnp.int64)).astype(
+            node.schema[0].dtype.to_jax()), None, node.schema[0].dtype,
+            self._preps[prep_key].out_dict(node.group_exprs[0])
+            if node.schema[0].dtype.is_string else None)]
+        names = [node.schema[0].name]
+        for (a, kind, ci, cj), f in zip(plan, node.schema[1:]):
+            if kind == "count_star":
+                out_cols.append(SCol(presence.astype(jnp.int64), None,
+                                     f.dtype, None))
+            elif kind == "count":
+                out_cols.append(SCol(sums[:, ci].astype(jnp.int64), None,
+                                     f.dtype, None))
+            elif kind == "sum":
+                cnt = sums[:, cj]
+                out_cols.append(SCol(sums[:, ci].astype(f.dtype.to_jax()),
+                                     cnt > 0, f.dtype, None))
+            else:
+                cnt = sums[:, cj]
+                out_cols.append(SCol(
+                    (sums[:, ci] / jnp.maximum(cnt, 1.0)).astype(
+                        f.dtype.to_jax()), cnt > 0, f.dtype, None))
+            names.append(f.name)
+        return STable(out_cols, names, presence > 0, g_pad)
+
     def _assemble_agg(self, node, out_keys, out_aggs, ngroups, cap) -> STable:
         prep = self._preps.get(id(node))
         cols = []
@@ -561,6 +647,13 @@ class DistFragment:
 
     def _exec_distinct(self, node: L.Distinct, env) -> STable:
         t = self._exec(node.input, env)
+        if self.P == 1:
+            out_keys, _, ngroups = grouped_aggregate(
+                [(c.arr, c.valid) for c in t.cols], [], t.alive)
+            cols = [SCol(arr.astype(c.dtype.to_jax()), valid, c.dtype,
+                         c.dictionary)
+                    for (arr, valid), c in zip(out_keys, t.cols)]
+            return STable(cols, t.names, jnp.arange(t.cap) < ngroups, t.cap)
         pairs = [(c.arr, c.valid) for c in t.cols]
         key64, _ = join_ops.normalize_keys([c.arr for c in t.cols])
         dest = dest_from_key(key64, self.P)
@@ -600,6 +693,11 @@ class DistFragment:
                 arr = rm[jnp.clip(arr, 0, rm.shape[0] - 1)]
             r_keys.append((arr, vv.valid))
 
+        direct = self._direct_params(node, rt)
+        if self.P == 1:
+            return self._local_join(node, lt, l_keys, rt, r_keys,
+                                    direct=direct)
+
         broadcast = (rt.cap * self.P <= self.broadcast_rows
                      and node.kind in (JoinKind.INNER, JoinKind.LEFT))
 
@@ -615,7 +713,8 @@ class DistFragment:
                   for a, v in r_keys]
             return self._local_join(node, lt, l_keys,
                                     STable(r_cols, rt.names, r_alive,
-                                           rt.cap * self.P), rk)
+                                           rt.cap * self.P), rk,
+                                    direct=direct)
 
         # shuffle both sides by key hash
         lkey64, _ = join_ops.normalize_keys([a for a, _ in l_keys])
@@ -638,9 +737,28 @@ class DistFragment:
 
         lt2, lk2 = do_shuffle(lt, l_keys, lkey64)
         rt2, rk2 = do_shuffle(rt, r_keys, rkey64)
-        return self._local_join(node, lt2, lk2, rt2, rk2)
+        return self._local_join(node, lt2, lk2, rt2, rk2, direct=direct)
 
-    def _local_join(self, node, lt: STable, l_keys, rt: STable, r_keys):
+    def _direct_params(self, node, rt: STable):
+        """Dense-integer build keys → value-indexed probe (no searchsorted);
+        see exec/join_exec.py. Stats survive shuffles (bounds don't move)."""
+        if len(node.right_keys) != 1:
+            return None
+        rk_expr = node.right_keys[0]
+        if not (isinstance(rk_expr, L.BColumn) and rk_expr.dtype.is_integer
+                and rk_expr.index < len(rt.cols)):
+            return None
+        st = rt.cols[rk_expr.index].stats
+        if st is None:
+            return None
+        lo, hi = st
+        span = hi - lo + 1
+        if not (0 < span <= max(4 * rt.cap, 1 << 20) and span <= (1 << 24)):
+            return None
+        return int(lo), int(span)
+
+    def _local_join(self, node, lt: STable, l_keys, rt: STable, r_keys,
+                    direct=None):
         kind = node.kind
         lkey, exact = join_ops.normalize_keys([a for a, _ in l_keys])
         rkey, _ = join_ops.normalize_keys([a for a, _ in r_keys])
@@ -664,8 +782,26 @@ class DistFragment:
         sb_alive, sb_joinable = sp[2 * ncr], sp[2 * ncr + 1]
         sb_verify = sp[2 * ncr + 2:] if not exact else None
 
-        start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
-        inner_cap = pad_count(lt.cap * self.join_factor)
+        if direct is not None:
+            lo, span = direct
+            roff = jnp.clip(rkey - lo, 0, span - 1).astype(jnp.int32)
+            cnt = jnp.zeros((span + 1,), jnp.int32).at[roff + 1].add(
+                rj.astype(jnp.int32), mode="drop")
+            cum = jnp.cumsum(cnt)
+            packed = ((cum[:-1].astype(jnp.int64) << 32)
+                      | (cum[1:] - cum[:-1]).astype(jnp.int64))
+            loff = lkey.astype(jnp.int64) - lo
+            in_range = (loff >= 0) & (loff < span) & lj
+            lc = jnp.clip(loff, 0, span - 1).astype(jnp.int32)
+            hit = packed[lc]
+            start = (hit >> 32).astype(jnp.int32)
+            counts = jnp.where(in_range,
+                               (hit & 0xFFFFFFFF).astype(jnp.int32), 0)
+        else:
+            start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
+        # matches can exceed either side alone (duplicates); size by the
+        # larger side, scaled by the (overflow-retried) join factor
+        inner_cap = pad_count(max(lt.cap, rt.cap) * self.join_factor)
         probe_row, build_pos, slot_valid = join_ops.expand_matches(
             start, counts, inner_cap)
         total = jnp.sum(counts.astype(jnp.int64))

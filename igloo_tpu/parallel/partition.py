@@ -45,6 +45,7 @@ class PartCol:
     valid: Optional[jax.Array]          # (P, cap) or None
     dtype: SqlType
     dictionary: Optional[np.ndarray] = None
+    stats: Optional[tuple] = None       # (min, max) for integer columns
 
 
 class PartitionedTable:
@@ -73,6 +74,18 @@ class PartitionedTable:
         """Partition a single-device table across the mesh."""
         P = int(np.prod(mesh.devices.shape))
         n = dt.nrows
+        if P == 1:
+            # trivial mesh: device-side reshape, no host roundtrip
+            cols1 = {
+                name: PartCol(
+                    data=c.data[None], dtype=c.dtype,
+                    valid=c.validity[None] if c.validity is not None else None,
+                    dictionary=c.dictionary, stats=getattr(c, "stats", None))
+                for name, c in dt.columns.items()
+            }
+            import jax.numpy as _jnp
+            counts1 = _jnp.asarray([n], dtype=_jnp.int32)
+            return cls(cols1, counts1, mesh, n)
 
         # host-side row assignment
         host_cols = {name: np.asarray(jax.device_get(c.data))[:n]
@@ -116,7 +129,8 @@ class PartitionedTable:
                 data=jax.device_put(jnp.asarray(data), sharding),
                 valid=(jax.device_put(jnp.asarray(vbuf), sharding)
                        if vbuf is not None else None),
-                dtype=c.dtype, dictionary=c.dictionary)
+                dtype=c.dtype, dictionary=c.dictionary,
+                stats=getattr(c, "stats", None))
 
         from jax.sharding import NamedSharding, PartitionSpec
         counts = jax.device_put(jnp.asarray(part_counts, dtype=jnp.int32),
@@ -125,6 +139,17 @@ class PartitionedTable:
 
     def to_device_table(self) -> DeviceTable:
         """Gather all partitions into a single (host-ordered) table."""
+        if self.num_parts == 1:
+            # trivial mesh: device-side view, one scalar pull for the count
+            total = int(np.asarray(jax.device_get(self.counts))[0])
+            columns = {
+                name: Column(data=c.data[0], dtype=c.dtype,
+                             validity=(c.valid[0] if c.valid is not None
+                                       else None),
+                             dictionary=c.dictionary)
+                for name, c in self.cols.items()
+            }
+            return DeviceTable(columns, total)
         counts = np.asarray(jax.device_get(self.counts))
         P = len(counts)
         total = int(counts.sum())
