@@ -213,57 +213,55 @@ class QueryEngine:
     def _execute_fused(self, stmt, sql: str) -> DeviceTable:
         import copy
 
-        plan = copy.deepcopy(self._plan(stmt, sql))
+        # IMPORTANT: fragments are compiled + cached against the CACHED
+        # plan object (stable id across executions). The deepcopy only
+        # exists so temp-scan substitution never mutates the cached plan;
+        # fragment execution itself reads the original subtrees.
+        plan = self._plan(stmt, sql)
         tmp_before = self._tmp_counter
         try:
-            out = self._split_and_run(plan)
-            if isinstance(out, DeviceTable):
-                return out
-            if out is None:           # host-fallback case (empty ungrouped agg)
-                return self.executor.execute(
-                    copy.deepcopy(self._plan(stmt, sql)))
-            return self.executor.execute(out)
+            from .parallel.dist_exec import subtree_distributable
+            if subtree_distributable(plan):
+                out = self._run_fragment(plan)
+                if not self._needs_host_fallback(plan, out):
+                    return out
+                return self.executor.execute(copy.deepcopy(plan))
+            work = copy.deepcopy(plan)
+            self._substitute_fragments(work, plan)
+            return self.executor.execute(work)
         finally:
             for i in range(tmp_before + 1, self._tmp_counter + 1):
                 self.catalog.deregister(f"__frag_{i}")
 
-    def _split_and_run(self, plan):
-        """Run maximal distributable subtrees as single fused programs;
-        replace them with temp scans for the operator-at-a-time tail."""
+    def _substitute_fragments(self, copy_node, orig_node):
+        """Walk copy+original in lockstep; run distributable ORIGINAL
+        subtrees as fused fragments and splice temp scans into the copy."""
         from .parallel.dist_exec import subtree_distributable
         from .plan import logical as L
 
-        if subtree_distributable(plan):
-            out = self._run_fragment(plan)
-            if self._needs_host_fallback(plan, out):
-                return None
-            return out
-
-        def replace_children(node):
-            for attr in ("input", "left", "right"):
-                child = getattr(node, attr, None)
-                if isinstance(child, L.LogicalPlan):
-                    if subtree_distributable(child):
-                        result = self._run_fragment(child)
-                        if result is not None and not \
-                                self._needs_host_fallback(child, result):
-                            setattr(node, attr, self._as_scan(child, result))
-                            continue
-                    replace_children(child)
-            if isinstance(node, L.Union):
-                new_inputs = []
-                for child in node.inputs:
-                    if subtree_distributable(child):
-                        result = self._run_fragment(child)
-                        if result is not None:
-                            new_inputs.append(self._as_scan(child, result))
-                            continue
-                    replace_children(child)
-                    new_inputs.append(child)
-                node.inputs = tuple(new_inputs)
-            return node
-
-        return replace_children(plan)
+        for attr in ("input", "left", "right"):
+            c_child = getattr(copy_node, attr, None)
+            o_child = getattr(orig_node, attr, None)
+            if isinstance(c_child, L.LogicalPlan):
+                if subtree_distributable(o_child):
+                    result = self._run_fragment(o_child)
+                    if result is not None and not \
+                            self._needs_host_fallback(o_child, result):
+                        setattr(copy_node, attr,
+                                self._as_scan(o_child, result))
+                        continue
+                self._substitute_fragments(c_child, o_child)
+        if isinstance(copy_node, L.Union):
+            new_inputs = []
+            for c_child, o_child in zip(copy_node.inputs, orig_node.inputs):
+                if subtree_distributable(o_child):
+                    result = self._run_fragment(o_child)
+                    if result is not None:
+                        new_inputs.append(self._as_scan(o_child, result))
+                        continue
+                self._substitute_fragments(c_child, o_child)
+                new_inputs.append(c_child)
+            copy_node.inputs = tuple(new_inputs)
 
     def _needs_host_fallback(self, plan, result: DeviceTable) -> bool:
         from .plan import logical as L
