@@ -66,7 +66,7 @@ def main() -> None:
     results = {}
 
     # ---- config #1: filter + projection ----
-    n1 = 1 << 24
+    n1 = 1 << 26
     eng.register_table("people", pa.table({
         "age": pa.array(rng.integers(0, 100, n1), type=pa.int32()),
         "name": pa.array(rng.integers(0, 100_000, n1), type=pa.int32()),
@@ -79,7 +79,7 @@ def main() -> None:
         "rows_per_s": rows_s, "seconds": t, "sol": rows_s / roofline}
 
     # ---- config #2: low-cardinality hash aggregate ----
-    n2 = 1 << 24
+    n2 = 100_000_000   # BASELINE config #2: 100M rows
     eng.register_table("events", pa.table({
         "k": pa.array(rng.integers(0, 256, n2), type=pa.int32()),
         "v": pa.array(rng.integers(0, 1000, n2), type=pa.int32()),
@@ -92,7 +92,7 @@ def main() -> None:
         "rows_per_s": rows_s, "seconds": t, "sol": rows_s / roofline}
 
     # ---- config #3: fact-dim hash join + post-join filter ----
-    n3 = 1 << 23
+    n3 = 1 << 24
     ndim = 1 << 15
     eng.register_table("lineitem", pa.table({
         "okey": pa.array(rng.integers(0, ndim, n3), type=pa.int32()),
@@ -112,7 +112,7 @@ def main() -> None:
         "rows_per_s": rows_s, "seconds": t, "sol": rows_s / roofline}
 
     # ---- config #4: sort / top-k ----
-    n4 = 1 << 23
+    n4 = 1 << 25
     eng.register_table("keys64", pa.table({
         "k": pa.array(rng.integers(0, 1 << 62, n4), type=pa.int64()),
     }))

@@ -155,6 +155,22 @@ class QueryEngine:
         if isinstance(stmt, ast.Explain):
             plan = self._plan(stmt.query, sql)
             text = plan.tree_str()
+            if stmt.analyze:
+                # EXPLAIN ANALYZE: execute and append observed metrics
+                import time as _time
+                t0 = _time.perf_counter()
+                result = self._execute_statement(
+                    stmt.query, sql + " /*analyze*/")
+                ms = (_time.perf_counter() - t0) * 1e3
+                lines = text.split("\n")
+                lines.append(f"-- rows: {result.nrows}")
+                lines.append(f"-- execution: {ms:.2f} ms")
+                m = self.metrics.history[-1] if self.metrics.history else None
+                if m is not None and m.operators:
+                    ops = ", ".join(f"{k}×{v}" for k, v in
+                                    sorted(m.operators.items()))
+                    lines.append(f"-- operators: {ops}")
+                text = "\n".join(lines)
             return DeviceTable.from_arrow(
                 pa.table({"plan": text.split("\n")}), device=self.device)
         if isinstance(stmt, ast.ShowTables):

@@ -474,3 +474,10 @@ def test_timestamps(engine):
     assert out.column("x").to_pylist() == [2]
     out2 = engine.execute("SELECT year(ts) AS y FROM ev ORDER BY y")
     assert out2.column("y").to_pylist() == [2020, 2021]
+
+
+def test_explain_analyze(engine):
+    engine.register_table("t", pa.table({"x": [1, 2, 3]}))
+    out = engine.execute("EXPLAIN ANALYZE SELECT sum(x) FROM t")
+    text = "\n".join(out.column("plan").to_pylist())
+    assert "Aggregate" in text and "rows: 1" in text and "execution:" in text
