@@ -237,7 +237,7 @@ class QueryEngine:
         tmp_before = self._tmp_counter
         try:
             from .parallel.dist_exec import subtree_distributable
-            if subtree_distributable(plan):
+            if subtree_distributable(plan) and self._worth_fragmenting(plan):
                 out = self._run_fragment(plan)
                 if not self._needs_host_fallback(plan, out):
                     return out
@@ -249,6 +249,12 @@ class QueryEngine:
             for i in range(tmp_before + 1, self._tmp_counter + 1):
                 self.catalog.deregister(f"__frag_{i}")
 
+    def _worth_fragmenting(self, plan) -> bool:
+        """A bare Scan gains nothing from fragment compilation (it would
+        just round-trip the table through a shard_map)."""
+        from .plan import logical as L
+        return not isinstance(plan, L.Scan)
+
     def _substitute_fragments(self, copy_node, orig_node):
         """Walk copy+original in lockstep; run distributable ORIGINAL
         subtrees as fused fragments and splice temp scans into the copy."""
@@ -259,7 +265,8 @@ class QueryEngine:
             c_child = getattr(copy_node, attr, None)
             o_child = getattr(orig_node, attr, None)
             if isinstance(c_child, L.LogicalPlan):
-                if subtree_distributable(o_child):
+                if subtree_distributable(o_child) and \
+                        self._worth_fragmenting(o_child):
                     result = self._run_fragment(o_child)
                     if result is not None and not \
                             self._needs_host_fallback(o_child, result):
@@ -270,7 +277,8 @@ class QueryEngine:
         if isinstance(copy_node, L.Union):
             new_inputs = []
             for c_child, o_child in zip(copy_node.inputs, orig_node.inputs):
-                if subtree_distributable(o_child):
+                if subtree_distributable(o_child) and \
+                        self._worth_fragmenting(o_child):
                     result = self._run_fragment(o_child)
                     if result is not None:
                         new_inputs.append(self._as_scan(o_child, result))
