@@ -237,7 +237,9 @@ class QueryEngine:
         tmp_before = self._tmp_counter
         try:
             from .parallel.dist_exec import subtree_distributable
-            if subtree_distributable(plan) and self._worth_fragmenting(plan):
+            single = self._mesh_size() == 1
+            if subtree_distributable(plan, single) \
+                    and self._worth_fragmenting(plan):
                 out = self._run_fragment(plan)
                 if not self._needs_host_fallback(plan, out):
                     return out
@@ -248,6 +250,10 @@ class QueryEngine:
         finally:
             for i in range(tmp_before + 1, self._tmp_counter + 1):
                 self.catalog.deregister(f"__frag_{i}")
+
+    def _mesh_size(self) -> int:
+        import numpy as _np
+        return int(_np.prod(self._get_mesh().devices.shape))
 
     def _worth_fragmenting(self, plan) -> bool:
         """A bare Scan gains nothing from fragment compilation (it would
@@ -265,8 +271,8 @@ class QueryEngine:
             c_child = getattr(copy_node, attr, None)
             o_child = getattr(orig_node, attr, None)
             if isinstance(c_child, L.LogicalPlan):
-                if subtree_distributable(o_child) and \
-                        self._worth_fragmenting(o_child):
+                if subtree_distributable(o_child, self._mesh_size() == 1) \
+                        and self._worth_fragmenting(o_child):
                     result = self._run_fragment(o_child)
                     if result is not None and not \
                             self._needs_host_fallback(o_child, result):
@@ -277,8 +283,8 @@ class QueryEngine:
         if isinstance(copy_node, L.Union):
             new_inputs = []
             for c_child, o_child in zip(copy_node.inputs, orig_node.inputs):
-                if subtree_distributable(o_child) and \
-                        self._worth_fragmenting(o_child):
+                if subtree_distributable(o_child, self._mesh_size() == 1) \
+                        and self._worth_fragmenting(o_child):
                     result = self._run_fragment(o_child)
                     if result is not None:
                         new_inputs.append(self._as_scan(o_child, result))

@@ -52,10 +52,14 @@ from .shuffle import dest_from_key, shuffle_rows
 
 _DISTRIBUTABLE = (L.Scan, L.Filter, L.Projection, L.Aggregate, L.Join,
                   L.Distinct)
+_SINGLE_ONLY = (L.Sort, L.Limit)      # local-only ops, fusable when P == 1
 
 
-def node_distributable(node: L.LogicalPlan) -> bool:
-    if not isinstance(node, _DISTRIBUTABLE):
+def node_distributable(node: L.LogicalPlan, single: bool = False) -> bool:
+    if isinstance(node, _SINGLE_ONLY):
+        if not single:
+            return False
+    elif not isinstance(node, _DISTRIBUTABLE):
         return False
     if isinstance(node, L.Join) and node.kind not in (
             JoinKind.INNER, JoinKind.LEFT, JoinKind.RIGHT, JoinKind.FULL):
@@ -68,9 +72,9 @@ def node_distributable(node: L.LogicalPlan) -> bool:
     return True
 
 
-def subtree_distributable(node: L.LogicalPlan) -> bool:
-    return node_distributable(node) and all(
-        subtree_distributable(c) for c in node.children())
+def subtree_distributable(node: L.LogicalPlan, single: bool = False) -> bool:
+    return node_distributable(node, single) and all(
+        subtree_distributable(c, single) for c in node.children())
 
 
 def _node_exprs(node: L.LogicalPlan) -> list:
@@ -242,6 +246,14 @@ class DistFragment:
                 dicts = [prep.out_dict(g) if f.dtype.is_string else None
                          for g, f in zip(node.group_exprs, node.schema)]
                 dicts += [None] * len(node.aggs)
+        elif isinstance(node, L.Sort):
+            prep = ExprPrep(child_dicts[0], self.functions)
+            for k in node.keys:
+                prep.prepare(k.expr)
+            self._preps[id(node)] = prep
+            dicts = child_dicts[0]
+        elif isinstance(node, L.Limit):
+            dicts = child_dicts[0]
         elif isinstance(node, L.Join):
             lprep = ExprPrep(child_dicts[0], self.functions)
             for e in node.left_keys:
@@ -318,15 +330,17 @@ class DistFragment:
             for f in self._overflow_flags:
                 overflow = overflow | f
             overflow = jax.lax.pmax(overflow.astype(jnp.int32), "d") > 0
-            count = jnp.sum(out.alive.astype(jnp.int32))
             # compact alive rows to the front within each shard so the
-            # per-shard count prefix is the real data
-            perm = jnp.argsort((~out.alive).astype(jnp.int32), stable=True)
-            arrs = [c.arr[perm][None] for c in out.cols]
+            # per-shard count prefix is the real data (co-sorted payload:
+            # permute-then-gather is ~7x slower on TPU)
+            from ..ops.masks import compact_cosort
+            c_arrs, c_valids, count = compact_cosort(
+                out.alive, [c.arr for c in out.cols],
+                [c.valid for c in out.cols])
+            arrs = [a[None] for a in c_arrs]
             valids = [
-                (c.valid[perm] if c.valid is not None
-                 else jnp.ones((out.cap,), jnp.bool_))[None]
-                for c in out.cols
+                (v if v is not None else jnp.ones((out.cap,), jnp.bool_))[None]
+                for v in c_valids
             ]
             return arrs, valids, count[None], overflow
 
@@ -403,7 +417,29 @@ class DistFragment:
             return self._exec_distinct(node, env)
         if isinstance(node, L.Join):
             return self._exec_join(node, env)
+        if isinstance(node, L.Sort):
+            return self._exec_sort(node, env)
+        if isinstance(node, L.Limit):
+            t = self._exec(node.input, env)
+            from ..ops.masks import first_k_mask
+            return STable(t.cols, t.names,
+                          first_k_mask(t.alive, node.limit, node.offset),
+                          t.cap)
         raise NotSupportedError(f"dist exec: {type(node).__name__}")
+
+    def _exec_sort(self, node: L.Sort, env) -> STable:
+        from ..ops.sort_ops import sort_with_payload
+        t = self._exec(node.input, env)
+        key_vvs = [self._eval(k.expr, t, id(node)) for k in node.keys]
+        key_specs = [(v.arr, v.valid, k.ascending, k.nulls_first)
+                     for v, k in zip(key_vvs, node.keys)]
+        payload = [c.arr for c in t.cols] + [c.valid for c in t.cols] \
+            + [t.alive]
+        sp = sort_with_payload(key_specs, t.alive, payload)
+        nc = len(t.cols)
+        cols = [SCol(a, v, c.dtype, c.dictionary)
+                for a, v, c in zip(sp[:nc], sp[nc:2 * nc], t.cols)]
+        return STable(cols, t.names, sp[2 * nc], t.cap)
 
     def _eval(self, expr, t: STable, prep_key) -> VV:
         prep = self._preps[prep_key]
