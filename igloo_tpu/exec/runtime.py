@@ -32,7 +32,7 @@ from ..plan import logical as L
 from ..table import PAD, Column, DeviceTable, pad_count
 from ..ops import join_ops, masks
 from ..ops.aggregate import AggInput, grouped_aggregate, ungrouped_aggregate
-from ..ops.sort_ops import sort_perm, sort_with_payload
+from ..ops.sort_ops import sort_with_payload
 from .expr import EvalCtx, ExprPrep, VV, and_valid, merge_dicts
 from ..plan.logical import BScalarSubquery, walk_expr
 

@@ -40,7 +40,7 @@ from ..plan import logical as L
 from ..table import pad_count
 from ..ops import join_ops
 from ..ops.aggregate import AggInput, grouped_aggregate
-from ..ops.sort_ops import sort_perm
+from ..ops.sort_ops import sort_with_payload
 from ..exec.expr import EvalCtx, ExprPrep, VV, eval_expr, merge_dicts
 from .partition import PartCol, PartitionedTable
 from .shuffle import dest_from_key, shuffle_rows

@@ -123,3 +123,11 @@ def test_dist_string_group(both):
 def test_dist_sort_tail_runs_on_host(both):
     d, s = both
     _check(d, s, "SELECT k, v FROM fact WHERE v > 995 ORDER BY v DESC, k LIMIT 10")
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_dryrun_multichip_sizes(n_dev):
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs more devices")
+    import __graft_entry__ as g
+    g.dryrun_multichip(n_dev)
