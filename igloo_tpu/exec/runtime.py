@@ -465,10 +465,8 @@ class Executor:
 
     def _run_window(self, node: L.Window) -> RTable:
         """Window functions: one partition-sort carrying all payloads,
-        then segmented scans — no scatters, output rows in sorted order
-        (SQL leaves window output order unspecified)."""
-        from ..ops.aggregate import _seg_scan
-        from ..ops.sort_ops import _direction_transform
+        then segmented scans (ops/window_ops.py)."""
+        from ..ops.window_ops import window_program
 
         rt = self.run(node.input)
         part_exprs = list(node.partition_exprs)
@@ -481,167 +479,20 @@ class Executor:
         def body(ctx, vvs, mask):
             np_ = len(part_exprs)
             no = len(order_keys)
-            pvv = vvs[:np_]
-            ovv = vvs[np_:np_ + no]
-            avv_list = vvs[np_ + no:]
-            iota = jnp.arange(cap, dtype=jnp.int32)
+            part = [(v.arr, v.valid) for v in vvs[:np_]]
+            order = [
+                (v.arr, v.valid, k.ascending, k.nulls_first)
+                for v, k in zip(vvs[np_:np_ + no], order_keys)
+            ]
+            args_it = iter(vvs[np_ + no:])
+            args = [
+                ((lambda v: (v.arr, v.valid))(next(args_it))
+                 if s.arg is not None else None)
+                for s in specs
+            ]
+            inputs = [(c.arr, c.valid) for c in rt.cols]
             alive = mask if mask is not None else jnp.ones((cap,), jnp.bool_)
-
-            operands = [(~alive).astype(jnp.int32)]
-            for v in pvv:
-                if v.valid is not None:
-                    operands.append(jnp.where(v.valid, 0, 1).astype(jnp.int32))
-                operands.append(v.arr.astype(jnp.int32)
-                                if v.arr.dtype == jnp.bool_ else v.arr)
-            for v, k in zip(ovv, order_keys):
-                if v.valid is not None:
-                    nr = (jnp.where(v.valid, 1, 0) if k.nulls_first
-                          else jnp.where(v.valid, 0, 1))
-                    operands.append(nr.astype(jnp.int32))
-                operands.append(_direction_transform(v.arr, k.ascending))
-            nk = len(operands)
-
-            payload, slot_of = [], {}
-
-            def add(x):
-                if x is None:
-                    return None
-                key = id(x)
-                if key not in slot_of:
-                    slot_of[key] = nk + len(payload)
-                    payload.append(x)
-                return slot_of[key]
-
-            alive_slot = add(alive)
-            in_slots = [(add(c.arr), add(c.valid)) for c in rt.cols]
-            p_slots = [(add(v.arr), add(v.valid)) for v in pvv]
-            o_slots = [(add(v.arr), add(v.valid)) for v in ovv]
-            a_slots = [(add(v.arr), add(v.valid)) for v in avv_list]
-            out = jax.lax.sort(operands + payload, num_keys=nk,
-                               is_stable=True)
-
-            def at(slot):
-                return None if slot is None else out[slot]
-
-            s_alive = at(alive_slot)
-            first = iota == 0
-            prev_alive = jnp.roll(s_alive, 1)
-
-            def differs(slots):
-                d = jnp.zeros((cap,), jnp.bool_)
-                for sa, sv in slots:
-                    arr = at(sa)
-                    prev = jnp.roll(arr, 1)
-                    dd = arr != prev
-                    if sv is not None:
-                        valid = at(sv)
-                        pv = jnp.roll(valid, 1)
-                        dd = (valid != pv) | (dd & valid & pv)
-                    d = d | dd
-                return d
-
-            pboundary = s_alive & (first | differs(p_slots) | ~prev_alive)
-            if not p_slots:
-                pboundary = s_alive & (first | ~prev_alive)
-            seg = jnp.cumsum(pboundary.astype(jnp.int32)) - 1
-            seg = jnp.where(s_alive, jnp.clip(seg, 0, cap - 1), cap)
-            pstart = jax.lax.cummax(jnp.where(pboundary, iota, -1))
-            pstart_c = jnp.clip(pstart, 0, cap - 1)
-            pend = (jnp.searchsorted(seg, seg, side="right") - 1
-                    ).astype(jnp.int32)
-            pend = jnp.clip(pend, 0, cap - 1)
-
-            if order_keys:
-                oboundary = pboundary | (s_alive & differs(o_slots))
-                pg = jnp.where(s_alive,
-                               jnp.cumsum(oboundary.astype(jnp.int32)) - 1,
-                               cap + iota)
-                peer_end = (jnp.searchsorted(pg, pg, side="right") - 1
-                            ).astype(jnp.int32)
-                peer_end = jnp.clip(peer_end, 0, cap - 1)
-            else:
-                oboundary = pboundary
-                peer_end = pend
-
-            win_cols = []
-            ai = 0
-            for s in specs:
-                if s.arg is not None:
-                    sa, sv = a_slots[ai]
-                    arr = at(sa)
-                    valid = at(sv)
-                    ai += 1
-                else:
-                    arr = valid = None
-                w = s_alive if valid is None else (s_alive & valid)
-
-                if s.func == "row_number":
-                    win_cols.append(((iota - pstart + 1).astype(jnp.int64),
-                                     None))
-                elif s.func == "rank":
-                    rb = jax.lax.cummax(jnp.where(oboundary, iota, -1))
-                    win_cols.append(((rb - pstart + 1).astype(jnp.int64),
-                                     None))
-                elif s.func == "dense_rank":
-                    dr = _seg_scan(jnp.add, oboundary.astype(jnp.int64), seg)
-                    win_cols.append((dr, None))
-                elif s.func in ("lag", "lead"):
-                    k = s.offset if s.func == "lag" else -s.offset
-                    src_arr = jnp.roll(arr, k)
-                    src_seg = jnp.roll(seg, k)
-                    ok = (src_seg == seg) & s_alive
-                    if s.func == "lag":
-                        ok = ok & (iota >= k)
-                    else:
-                        ok = ok & (iota < cap + k)
-                    if valid is not None:
-                        ok = ok & jnp.roll(valid, k)
-                    win_cols.append((src_arr, ok))
-                elif s.func == "first_value":
-                    win_cols.append((arr[pstart_c],
-                                     (w if valid is not None else s_alive)
-                                     [pstart_c]))
-                elif s.func == "last_value":
-                    win_cols.append((arr[peer_end],
-                                     (w if valid is not None else s_alive)
-                                     [peer_end]))
-                elif s.func in ("count_star", "count"):
-                    weights = s_alive if s.func == "count_star" else w
-                    run = _seg_scan(jnp.add, weights.astype(jnp.int64), seg)
-                    win_cols.append((run[peer_end], None))
-                elif s.func in ("sum", "avg"):
-                    acc_t = (jnp.float64 if (s.func == "avg"
-                             or jnp.issubdtype(arr.dtype, jnp.floating))
-                             else jnp.int64)
-                    vals = jnp.where(w, arr, 0).astype(acc_t)
-                    run = _seg_scan(jnp.add, vals, seg)[peer_end]
-                    cnt = _seg_scan(jnp.add, w.astype(jnp.int64),
-                                    seg)[peer_end]
-                    if s.func == "sum":
-                        win_cols.append((run, cnt > 0))
-                    else:
-                        win_cols.append((run.astype(jnp.float64)
-                                         / jnp.maximum(cnt, 1), cnt > 0))
-                elif s.func in ("min", "max"):
-                    a2 = arr.astype(jnp.int32) if arr.dtype == jnp.bool_ \
-                        else arr
-                    if jnp.issubdtype(a2.dtype, jnp.floating):
-                        sent = jnp.asarray(jnp.inf if s.func == "min"
-                                           else -jnp.inf, a2.dtype)
-                    else:
-                        info = jnp.iinfo(a2.dtype)
-                        sent = jnp.asarray(info.max if s.func == "min"
-                                           else info.min, a2.dtype)
-                    op = jnp.minimum if s.func == "min" else jnp.maximum
-                    run = _seg_scan(op, jnp.where(w, a2, sent), seg)[peer_end]
-                    cnt = _seg_scan(jnp.add, w.astype(jnp.int64),
-                                    seg)[peer_end]
-                    win_cols.append((run, cnt > 0))
-                else:
-                    raise NotSupportedError(f"window function {s.func}")
-
-            sorted_inputs = [(at(sa), at(sv)) for sa, sv in in_slots]
-            return sorted_inputs, win_cols, s_alive
+            return window_program(part, order, args, inputs, specs, alive, cap)
 
         (sorted_inputs, win_cols, new_mask), prep = self._eval_program(
             rt, prep_exprs, "window", body)
@@ -650,13 +501,8 @@ class Executor:
             RCol(arr, valid, c.dtype, c.dictionary, c.stats)
             for (arr, valid), c in zip(sorted_inputs, rt.cols)
         ]
-        arg_iter = iter([s.arg for s in specs if s.arg is not None])
         for (arr, valid), s, f in zip(win_cols, specs,
                                       node.schema[len(rt.cols):]):
-            d = None
-            if f.dtype.is_string and s.arg is not None:
-                # find this spec's arg expr for its dictionary
-                pass
             cols.append(RCol(_cast_physical(arr, f.dtype), valid, f.dtype,
                              prep.out_dict(s.arg)
                              if (f.dtype.is_string and s.arg is not None)

@@ -52,7 +52,7 @@ from .shuffle import dest_from_key, shuffle_rows
 
 _DISTRIBUTABLE = (L.Scan, L.Filter, L.Projection, L.Aggregate, L.Join,
                   L.Distinct)
-_SINGLE_ONLY = (L.Sort, L.Limit)      # local-only ops, fusable when P == 1
+_SINGLE_ONLY = (L.Sort, L.Limit, L.Window)  # local ops, fusable when P == 1
 
 
 def node_distributable(node: L.LogicalPlan, single: bool = False) -> bool:
@@ -92,6 +92,10 @@ def _node_exprs(node: L.LogicalPlan) -> list:
         return out
     if isinstance(node, L.Sort):
         return [k.expr for k in node.keys]
+    if isinstance(node, L.Window):
+        return (list(node.partition_exprs)
+                + [k.expr for k in node.order_keys]
+                + [s.arg for s in node.specs if s.arg is not None])
     return []
 
 
@@ -254,6 +258,16 @@ class DistFragment:
             dicts = child_dicts[0]
         elif isinstance(node, L.Limit):
             dicts = child_dicts[0]
+        elif isinstance(node, L.Window):
+            prep = ExprPrep(child_dicts[0], self.functions)
+            for e in _node_exprs(node):
+                prep.prepare(e)
+            self._preps[id(node)] = prep
+            dicts = list(child_dicts[0])
+            for s, f in zip(node.specs, node.schema[len(child_dicts[0]):]):
+                dicts.append(prep.out_dict(s.arg)
+                             if (f.dtype.is_string and s.arg is not None)
+                             else None)
         elif isinstance(node, L.Join):
             lprep = ExprPrep(child_dicts[0], self.functions)
             for e in node.left_keys:
@@ -419,6 +433,8 @@ class DistFragment:
             return self._exec_join(node, env)
         if isinstance(node, L.Sort):
             return self._exec_sort(node, env)
+        if isinstance(node, L.Window):
+            return self._exec_window(node, env)
         if isinstance(node, L.Limit):
             t = self._exec(node.input, env)
             from ..ops.masks import first_k_mask
@@ -426,6 +442,36 @@ class DistFragment:
                           first_k_mask(t.alive, node.limit, node.offset),
                           t.cap)
         raise NotSupportedError(f"dist exec: {type(node).__name__}")
+
+    def _exec_window(self, node: L.Window, env) -> STable:
+        from ..ops.window_ops import window_program
+        t = self._exec(node.input, env)
+        pk = id(node)
+        part = [(v.arr, v.valid)
+                for v in (self._eval(e, t, pk) for e in node.partition_exprs)]
+        order = []
+        for k in node.order_keys:
+            v = self._eval(k.expr, t, pk)
+            order.append((v.arr, v.valid, k.ascending, k.nulls_first))
+        args = []
+        for s in node.specs:
+            if s.arg is None:
+                args.append(None)
+            else:
+                v = self._eval(s.arg, t, pk)
+                args.append((v.arr, v.valid))
+        inputs = [(c.arr, c.valid) for c in t.cols]
+        sorted_inputs, win_cols, s_alive = window_program(
+            part, order, args, inputs, node.specs, t.alive, t.cap)
+        prep = self._preps[pk]
+        cols = [SCol(a, v, c.dtype, c.dictionary)
+                for (a, v), c in zip(sorted_inputs, t.cols)]
+        for (a, v), s, f in zip(win_cols, node.specs,
+                                node.schema[len(t.cols):]):
+            d = (prep.out_dict(s.arg)
+                 if (f.dtype.is_string and s.arg is not None) else None)
+            cols.append(SCol(a.astype(f.dtype.to_jax()), v, f.dtype, d))
+        return STable(cols, [f.name for f in node.schema], s_alive, t.cap)
 
     def _exec_sort(self, node: L.Sort, env) -> STable:
         from ..ops.sort_ops import sort_with_payload
