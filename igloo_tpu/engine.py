@@ -23,7 +23,8 @@ from .catalog import ArrowProvider, Catalog, MemoryProvider
 from .errors import IglooError, NotSupportedError
 from .exec.runtime import Executor
 from .functions import FunctionRegistry
-from .io import register_csv, register_iceberg, register_parquet
+from .io import (register_csv, register_dbapi, register_iceberg,
+                 register_parquet)
 from .metrics import MetricsCollector
 from .plan.binder import Binder
 from .plan.optimizer import optimize
@@ -96,6 +97,15 @@ class QueryEngine:
     def register_iceberg(self, name: str, table_dir: str) -> None:
         with self._lock:
             register_iceberg(self.catalog, name, table_dir, device=self.device)
+            self._bump()
+
+    def register_dbapi(self, name: str, connect, query: str = None) -> None:
+        """Register a table from any DB-API 2.0 driver (postgres, mysql,
+        sqlite3, ...). The reference's postgres/mysql connectors are
+        stubs; this is the working equivalent."""
+        with self._lock:
+            register_dbapi(self.catalog, name, connect, query,
+                           device=self.device)
             self._bump()
 
     def deregister_table(self, name: str) -> bool:

@@ -5,6 +5,8 @@ and the ParquetScanExec operator
 (/root/reference/crates/engine/src/operators/parquet_scan.rs).
 """
 
+from .dbapi import register_dbapi
 from .files import register_csv, register_parquet, register_iceberg
 
-__all__ = ["register_csv", "register_parquet", "register_iceberg"]
+__all__ = ["register_csv", "register_parquet", "register_iceberg",
+           "register_dbapi"]

@@ -59,3 +59,24 @@ def test_register_overwrite_and_deregister(engine):
     from igloo_tpu.errors import CatalogError as CE
     with pytest.raises(CE):
         engine.execute("SELECT * FROM t")
+
+
+def test_dbapi_sqlite(engine, tmp_path):
+    import sqlite3
+    db = tmp_path / "x.db"
+
+    def connect():
+        return sqlite3.connect(db)
+
+    conn = connect()
+    conn.execute("CREATE TABLE emp (id INTEGER, name TEXT, pay REAL)")
+    conn.executemany("INSERT INTO emp VALUES (?, ?, ?)",
+                     [(1, "a", 10.5), (2, "b", 20.0), (3, None, 7.25)])
+    conn.commit()
+    conn.close()
+
+    engine.register_dbapi("emp", connect)
+    out = engine.execute(
+        "SELECT id, name, pay FROM emp WHERE pay > 8 ORDER BY id")
+    assert out.column("id").to_pylist() == [1, 2]
+    assert out.column("name").to_pylist() == ["a", "b"]
