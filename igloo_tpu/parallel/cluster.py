@@ -190,6 +190,98 @@ class CoordinatorClient:
         self._channel.close()
 
 
+class WorkerTaskService:
+    """Worker-side task execution service.
+
+    ≙ MyWorkerService (/root/reference/crates/worker/src/service.rs) —
+    which logs and returns "SUBMITTED" without executing, and serves
+    empty bytes for GetTaskData. Here tasks actually run: the payload is
+    SQL executed on the local engine; results cache as Arrow IPC for the
+    pull-based GetTaskData fetch (the reference's intended shuffle API,
+    coordinator.proto:60-68)."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self._results: dict[str, bytes] = {}
+        self._status: dict[str, pb.TaskStatus] = {}
+        self._lock = threading.Lock()
+        self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=8))
+        self._server.add_generic_rpc_handlers((self._handlers(),))
+        self.port = self._server.add_insecure_port(f"{host}:{port}")
+
+    def ExecuteTask(self, request: pb.TaskDefinition, context) -> pb.TaskStatus:
+        sql = request.payload.decode()
+        try:
+            table = self.engine.execute(sql)
+            import io
+
+            import pyarrow as pa
+            buf = io.BytesIO()
+            with pa.ipc.new_stream(buf, table.schema) as w:
+                w.write_table(table)
+            with self._lock:
+                self._results[request.task_id] = buf.getvalue()
+            st = pb.TaskStatus(task_id=request.task_id, state="DONE")
+        except Exception as e:  # noqa: BLE001 — errors cross the wire
+            st = pb.TaskStatus(task_id=request.task_id, state="FAILED",
+                               error=f"{type(e).__name__}: {e}")
+        with self._lock:
+            self._status[request.task_id] = st
+        return st
+
+    def GetTaskData(self, request: pb.TaskDataRequest, context) -> pb.TaskDataChunk:
+        with self._lock:
+            data = self._results.get(request.task_id, b"")
+        return pb.TaskDataChunk(arrow_ipc=data)
+
+    def _handlers(self):
+        rpcs = {
+            "ExecuteTask": grpc.unary_unary_rpc_method_handler(
+                lambda req, ctx: self.ExecuteTask(req, ctx),
+                request_deserializer=pb.TaskDefinition.FromString,
+                response_serializer=pb.TaskStatus.SerializeToString),
+            "GetTaskData": grpc.unary_unary_rpc_method_handler(
+                lambda req, ctx: self.GetTaskData(req, ctx),
+                request_deserializer=pb.TaskDataRequest.FromString,
+                response_serializer=pb.TaskDataChunk.SerializeToString),
+        }
+        return grpc.method_handlers_generic_handler(_WORKER_SERVICE, rpcs)
+
+    def start(self):
+        self._server.start()
+        return self
+
+    def stop(self, grace: float = 1.0):
+        self._server.stop(grace)
+
+
+class WorkerTaskClient:
+    def __init__(self, address: str):
+        self._channel = grpc.insecure_channel(address)
+        self.execute_task = self._channel.unary_unary(
+            f"/{_WORKER_SERVICE}/ExecuteTask",
+            request_serializer=pb.TaskDefinition.SerializeToString,
+            response_deserializer=pb.TaskStatus.FromString)
+        self.get_task_data = self._channel.unary_unary(
+            f"/{_WORKER_SERVICE}/GetTaskData",
+            request_serializer=pb.TaskDataRequest.SerializeToString,
+            response_deserializer=pb.TaskDataChunk.FromString)
+
+    def run(self, task_id: str, sql: str):
+        import io
+
+        import pyarrow as pa
+        st = self.execute_task(pb.TaskDefinition(task_id=task_id,
+                                                 payload=sql.encode()))
+        if st.state == "FAILED":
+            raise RuntimeError(st.error)
+        chunk = self.get_task_data(pb.TaskDataRequest(task_id=task_id))
+        return pa.ipc.open_stream(io.BytesIO(chunk.arrow_ipc)).read_all()
+
+    def close(self):
+        self._channel.close()
+
+
 class WorkerAgent:
     """Worker lifecycle: register → heartbeat loop → serve
     (≙ worker main.rs:14-52). On TPU the fragment executor is the SPMD

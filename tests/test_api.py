@@ -78,3 +78,19 @@ def test_cluster_query_dispatch(engine):
         client.close()
     finally:
         coord.stop()
+
+
+def test_worker_task_service(engine):
+    from igloo_tpu.parallel.cluster import WorkerTaskClient, WorkerTaskService
+
+    engine.register_table("w", pa.table({"x": [1, 2, 3, 4]}))
+    svc = WorkerTaskService(engine).start()
+    try:
+        client = WorkerTaskClient(f"127.0.0.1:{svc.port}")
+        out = client.run("task-1", "SELECT sum(x) AS s FROM w WHERE x > 1")
+        assert out.column("s").to_pylist() == [9]
+        with pytest.raises(RuntimeError, match="not found"):
+            client.run("task-2", "SELECT * FROM missing")
+        client.close()
+    finally:
+        svc.stop()
