@@ -51,7 +51,8 @@ def _pad(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(slot_ref, contrib_ref, hi_ref, lo_ref, *, g_pad: int):
+def _kernel(slot_ref, contrib_ref, hi_ref, lo_ref, *, g_pad: int,
+            n_aggs: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -62,17 +63,26 @@ def _kernel(slot_ref, contrib_ref, hi_ref, lo_ref, *, g_pad: int):
     slots = slot_ref[...].reshape(1, _BLOCK)                # lanes-B
     gids = jax.lax.broadcasted_iota(jnp.int32, (g_pad, _BLOCK), 0)
     onehot = (gids == slots).astype(jnp.float32)            # (G, B)
-    contrib = contrib_ref[...]                              # (A·D, B)
-    partial = jax.lax.dot_general(
-        onehot, contrib,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # (G, A·D)
+    contrib = contrib_ref[...]                              # (A, B) raw values
+    sign = jnp.sign(contrib)
+    mag = jnp.abs(contrib)
 
-    # carry-split exact accumulation (see module docstring)
-    lo = lo_ref[...] + partial
-    carry = jnp.floor(lo * (1.0 / 4096.0))
-    lo_ref[...] = lo - carry * 4096.0
-    hi_ref[...] = hi_ref[...] + carry
+    # one dot per base-256 digit plane: same FLOPs as a single packed dot,
+    # but digits are computed in VMEM (no (A·D, n) HBM temp) and the
+    # accumulator uses static column blocks
+    for d in range(_DIGITS):
+        digit = jnp.floor(mag * (1.0 / (256.0 ** d))) % 256.0
+        plane = sign * digit                                # (A, B)
+        partial = jax.lax.dot_general(
+            onehot, plane,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (G, A)
+        # carry-split exact accumulation (see module docstring)
+        lo = lo_ref[:, d * n_aggs:(d + 1) * n_aggs] + partial
+        carry = jnp.floor(lo * (1.0 / 4096.0))
+        lo_ref[:, d * n_aggs:(d + 1) * n_aggs] = lo - carry * 4096.0
+        hi_ref[:, d * n_aggs:(d + 1) * n_aggs] = \
+            hi_ref[:, d * n_aggs:(d + 1) * n_aggs] + carry
 
 
 @functools.partial(jax.jit, static_argnames=("g_pad", "interpret"))
@@ -90,50 +100,40 @@ def groupby_onehot_sums(slots: jax.Array, contribs: jax.Array,
         contribs = jnp.pad(contribs, ((0, n_pad - n), (0, 0)))
     nb = n_pad // _BLOCK
     slots2 = slots.reshape(n_pad // _LANE, _LANE)
+    contrib_mat = contribs.T                                # (A, n_pad)
 
-    rows = []
-    for i in range(a):
-        v = contribs[:, i]
-        sign = jnp.sign(v)
-        mag = jnp.abs(v)
-        for d in range(_DIGITS):
-            digit = jnp.floor(mag / (256.0 ** d)) % 256.0
-            rows.append((sign * digit).astype(jnp.float32))
-    digit_mat = jnp.stack(rows, axis=0)                     # (A·D, n_pad)
-    n_cols = len(rows)
-
-    kern = functools.partial(_kernel, g_pad=g_pad)
+    kern = functools.partial(_kernel, g_pad=g_pad, n_aggs=a)
     # the remote Mosaic compiler rejects i64 constants that x64 mode puts
     # into grid index maps — trace the kernel in 32-bit scope
     with jax.enable_x64(False):
-        hi, lo = _call(kern, slots2, digit_mat, g_pad, n_cols, nb, interpret)
+        hi, lo = _call(kern, slots2, contrib_mat, g_pad, a, nb, interpret)
     sums = hi.astype(jnp.float64) * 4096.0 + lo.astype(jnp.float64)
     out = jnp.zeros((g_pad, a), jnp.float64)
     for i in range(a):
         acc = jnp.zeros((g_pad,), jnp.float64)
         for d in range(_DIGITS):
-            acc = acc + sums[:, i * _DIGITS + d] * (256.0 ** d)
+            acc = acc + sums[:, d * a + i] * (256.0 ** d)
         out = out.at[:, i].set(acc)
     return out
 
 
-def _call(kern, slots2, digit_mat, g_pad, a, nb, interpret):
+def _call(kern, slots2, contrib_mat, g_pad, a, nb, interpret):
     rows_per_block = _BLOCK // _LANE
     slot_block = pl.BlockSpec((rows_per_block, _LANE), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
     contrib_block = pl.BlockSpec((a, _BLOCK), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
-    acc_block = pl.BlockSpec((g_pad, a), lambda i: (0, 0),
+    acc_block = pl.BlockSpec((g_pad, a * _DIGITS), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((g_pad, a), jnp.float32),
-                   jax.ShapeDtypeStruct((g_pad, a), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((g_pad, a * _DIGITS), jnp.float32),
+                   jax.ShapeDtypeStruct((g_pad, a * _DIGITS), jnp.float32)),
         grid=(nb,),
         in_specs=[slot_block, contrib_block],
         out_specs=(acc_block, acc_block),
         interpret=interpret,
-    )(slots2, digit_mat)
+    )(slots2, contrib_mat)
 
 
 def supported_span_aggs(agg_funcs, arg_dtypes, value_bounds, n_rows) -> bool:
