@@ -898,7 +898,6 @@ class DistFragment:
             slot_valid = slot_valid & ok
 
         segments = []
-        seg_masks = [slot_valid]
 
         def gather_l(idx):
             return [(c.arr[idx], None if c.valid is None else c.valid[idx])
@@ -908,16 +907,49 @@ class DistFragment:
             return [(a[idx], None if v is None else v[idx])
                     for a, v in zip(sb_arrs, sb_valids)]
 
-        segments.append((gather_l(probe_row), gather_b(bpos)))
+        exp_l = gather_l(probe_row)
+        exp_b = gather_b(bpos)
+
+        if node.residual is not None:
+            # residual participates in MATCH semantics: a key-matching
+            # pair that fails it is no match, so outer rows re-surface
+            pair_cols = [SCol(a, v, c.dtype, c.dictionary)
+                         for (a, v), c in zip(exp_l + exp_b,
+                                              list(lt.cols) + list(rt.cols))]
+            pair = STable(pair_cols, [f.name for f in node.schema],
+                          slot_valid, inner_cap)
+            vv = self._eval(node.residual, pair, id(node) + 2)
+            keep = vv.arr.astype(jnp.bool_)
+            if vv.valid is not None:
+                keep = keep & vv.valid
+            slot_valid = slot_valid & keep
+
+        seg_masks = [slot_valid]
+        segments.append((exp_l, exp_b))
+
         if kind in (JoinKind.LEFT, JoinKind.FULL):
-            seg_masks.append(lt.alive & (counts == 0))
+            # surviving matches per probe row (expansion rows are grouped
+            # by ascending probe_row): cumsum + extent differencing
+            pidx = jnp.arange(lt.cap, dtype=jnp.int32)
+            ps = jnp.searchsorted(probe_row, pidx, side="left").astype(jnp.int32)
+            pe = jnp.searchsorted(probe_row, pidx, side="right").astype(jnp.int32)
+            csum = jnp.cumsum(slot_valid.astype(jnp.int32))
+            hi = csum[jnp.clip(pe - 1, 0, inner_cap - 1)]
+            lo_ = jnp.where(ps > 0, csum[jnp.clip(ps - 1, 0, inner_cap - 1)], 0)
+            surviving = jnp.where(pe > ps, hi - lo_, 0)
+            seg_masks.append(lt.alive & (surviving == 0))
             segments.append((
                 [(c.arr, c.valid) for c in lt.cols],
                 [(jnp.zeros((lt.cap,), c.arr.dtype),
                   jnp.zeros((lt.cap,), jnp.bool_)) for c in rt.cols]))
         if kind in (JoinKind.RIGHT, JoinKind.FULL):
-            unmatched_j = join_ops.unmatched_build_mask_sorted(sk, njb,
-                                                               lkey, lj)
+            if node.residual is not None:
+                matched_b = jnp.zeros((nb,), jnp.bool_).at[
+                    jnp.where(slot_valid, bpos, nb)].set(True, mode="drop")
+                unmatched_j = (jnp.arange(nb) < njb) & ~matched_b
+            else:
+                unmatched_j = join_ops.unmatched_build_mask_sorted(
+                    sk, njb, lkey, lj)
             seg_masks.append(unmatched_j | (sb_alive & ~sb_joinable))
             segments.append((
                 [(jnp.zeros((rt.cap,), c.arr.dtype),
@@ -941,23 +973,10 @@ class DistFragment:
             else:
                 valid = None
             c = src[ci]
-            if kind is JoinKind.LEFT and ci >= ncl:
-                matched = counts > 0
-                # expansion rows are matched by construction; only the
-                # probe-unmatched segment carries nulls (validity above)
             out_cols.append(SCol(arr, valid, c.dtype, c.dictionary))
         alive = jnp.concatenate(seg_masks)
         names = [f.name for f in node.schema]
-        out = STable(out_cols, names, alive, alive.shape[0])
-
-        if node.residual is not None:
-            vv_prep_key = id(node) + 2
-            vv = self._eval(node.residual, out, vv_prep_key)
-            keep = vv.arr.astype(jnp.bool_)
-            if vv.valid is not None:
-                keep = keep & vv.valid
-            out = STable(out.cols, out.names, out.alive & keep, out.cap)
-        return out
+        return STable(out_cols, names, alive, alive.shape[0])
 
     def _dest_cap(self, cap: int) -> int:
         per = -(-cap // self.P) * self.shuffle_factor

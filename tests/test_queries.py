@@ -481,3 +481,26 @@ def test_explain_analyze(engine):
     out = engine.execute("EXPLAIN ANALYZE SELECT sum(x) FROM t")
     text = "\n".join(out.column("plan").to_pylist())
     assert "Aggregate" in text and "rows: 1" in text and "execution:" in text
+
+
+def test_outer_join_with_residual(engine):
+    engine.register_table("lo", pa.table({"k": [1, 1, 2, 3], "x": [5, 15, 25, 9]}))
+    engine.register_table("ro", pa.table({"k": [1, 2, 4], "lim": [10, 20, 30]}))
+    # LEFT: pairs failing the residual leave the probe row null-padded
+    out = engine.execute(
+        "SELECT x, lim FROM lo LEFT JOIN ro ON lo.k = ro.k AND x > lim "
+        "ORDER BY x")
+    assert rows(out, "x", "lim") == [
+        (5, None), (9, None), (15, 10), (25, 20)]
+    # RIGHT: build rows with no surviving pair re-surface
+    out2 = engine.execute(
+        "SELECT x, lim FROM lo RIGHT JOIN ro ON lo.k = ro.k AND x > lim "
+        "ORDER BY lim, x NULLS LAST")
+    assert rows(out2, "x", "lim") == [
+        (15, 10), (25, 20), (None, 30)]
+    # FULL combines both
+    out3 = engine.execute(
+        "SELECT x, lim FROM lo FULL JOIN ro ON lo.k = ro.k AND x > lim "
+        "ORDER BY x NULLS LAST, lim NULLS LAST")
+    assert rows(out3, "x", "lim") == [
+        (5, None), (9, None), (15, 10), (25, 20), (None, 30)]
