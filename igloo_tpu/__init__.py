@@ -22,6 +22,13 @@ _jax.config.update("jax_enable_x64", True)
 
 from .engine import QueryEngine
 from .table import DeviceTable
+
+
+def DistributedQueryEngine(*args, **kwargs):
+    """Engine over the full device mesh (lazy import to keep base import
+    light)."""
+    from .parallel.engine import DistributedQueryEngine as _D
+    return _D(*args, **kwargs)
 from .catalog import Catalog
 from .errors import (BindError, CatalogError, ExecutionError, IglooError,
                      NotSupportedError, PlanError, SqlParseError)
@@ -30,7 +37,8 @@ from .dtypes import SqlType
 __version__ = "0.1.0"
 
 __all__ = [
-    "QueryEngine", "DeviceTable", "Catalog", "SqlType",
+    "QueryEngine", "DistributedQueryEngine", "DeviceTable", "Catalog",
+    "SqlType",
     "IglooError", "SqlParseError", "BindError", "PlanError",
     "NotSupportedError", "ExecutionError", "CatalogError",
 ]
