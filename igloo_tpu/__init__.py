@@ -15,10 +15,22 @@ Quick start:
     eng.execute("SELECT name, age FROM t WHERE age > 30 ORDER BY age")
 """
 
+import os as _os
+
 import jax as _jax
 
 # SQL needs 64-bit integers/floats (BIGINT/DOUBLE, count/sum semantics).
 _jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: query programs are large and TPU
+# (re)compiles are expensive — warm starts matter for a serving engine.
+# Opt out with IGLOO_NO_COMPILE_CACHE=1 or point IGLOO_COMPILE_CACHE
+# elsewhere.
+if not _os.environ.get("IGLOO_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("IGLOO_COMPILE_CACHE", "/tmp/igloo_jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from .engine import QueryEngine
 from .table import DeviceTable

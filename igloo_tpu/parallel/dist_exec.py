@@ -358,32 +358,30 @@ class DistFragment:
             ]
             return arrs, valids, count[None], overflow
 
-        # host wrapper that also fixes out_specs after first trace
+        # build the shard_map + jit ONCE — constructing them per call would
+        # change function identity and force a retrace + remote recompile
+        # on every query execution
+        n_out = len(plan.schema)
+        n_in = len(in_specs)
+        state = {"fn": None}
+
+        def wrapped(*args):
+            flat, aux = list(args[:n_in]), list(args[n_in:])
+            return traced(flat, aux)
+
         def run(in_arrays, aux_arrays):
             self._overflow_flags = []
-            n_out = len(plan.schema)
-            out_specs = ([P("d", None)] * n_out,
-                         [P("d", None) if _has_valid(plan.schema, i) or True
-                          else None for i in range(n_out)],
-                         P("d"), P())
-
-            def wrapped(*args):
-                k = len(in_arrays)
-                flat, aux = list(args[:k]), list(args[k:])
-                arrs, valids, count, overflow = traced(flat, aux)
-                return arrs, valids, count, overflow
-
-            specs_in = tuple(in_specs) + tuple([P()] * len(aux_arrays))
-            sm = jax.shard_map(
-                wrapped, mesh=self.mesh,
-                in_specs=specs_in,
-                out_specs=([P("d", None)] * n_out,
-                           [P("d", None)] * n_out,
-                           P("d"), P()),
-                check_vma=False)
-            fn = jax.jit(sm)
-            arrs, valids, counts, overflow = fn(*in_arrays, *aux_arrays)
-            return arrs, valids, counts, overflow
+            if state["fn"] is None:
+                specs_in = tuple(in_specs) + tuple([P()] * len(aux_arrays))
+                sm = jax.shard_map(
+                    wrapped, mesh=self.mesh,
+                    in_specs=specs_in,
+                    out_specs=([P("d", None)] * n_out,
+                               [P("d", None)] * n_out,
+                               P("d"), P()),
+                    check_vma=False)
+                state["fn"] = jax.jit(sm)
+            return state["fn"](*in_arrays, *aux_arrays)
 
         return run
 
