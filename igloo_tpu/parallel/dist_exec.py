@@ -136,6 +136,7 @@ class DistFragment:
         self.functions = functions
         self.shuffle_factor = shuffle_factor
         self.join_factor = join_factor
+        self.join_expand = False   # flip on duplicate-build-key retry
         self.broadcast_rows = broadcast_rows
         self._preps: dict[int, ExprPrep] = {}
         self._scan_inputs: list = []     # (arrays…) appended during host prep
@@ -154,13 +155,19 @@ class DistFragment:
                 if attempt > 6:
                     raise ExecutionError(
                         "distributed shuffle/join capacity overflow persisted "
-                        "after 4 retries — data too skewed for configured "
+                        "after retries — data too skewed for configured "
                         "capacity factors") from None
-                self.shuffle_factor *= 2
-                self.join_factor *= 2
+                if not self.join_expand:
+                    # first retry: switch the optimistic unique-build join
+                    # to the duplicate-expansion variant
+                    self.join_expand = True
+                else:
+                    self.shuffle_factor *= 2
+                    self.join_factor *= 2
 
     def _run_once(self, plan: L.LogicalPlan) -> PartitionedTable:
-        cache_key = (self.shuffle_factor, self.join_factor)
+        cache_key = (self.shuffle_factor, self.join_factor,
+                     self.join_expand)
         entry = self._compiled.get(cache_key)
         if entry is None:
             self._preps.clear()
@@ -879,15 +886,34 @@ class DistFragment:
                                (hit & 0xFFFFFFFF).astype(jnp.int32), 0)
         else:
             start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
-        # matches can exceed either side alone (duplicates); size by the
-        # larger side, scaled by the (overflow-retried) join factor
-        inner_cap = pad_count(max(lt.cap, rt.cap) * self.join_factor)
-        probe_row, build_pos, slot_valid = join_ops.expand_matches(
-            start, counts, inner_cap)
-        total = jnp.sum(counts.astype(jnp.int64))
-        self._overflow_flags.append(total > inner_cap)
+
+        unique_mode = (not self.join_expand
+                       and kind in (JoinKind.INNER, JoinKind.LEFT)
+                       and node.residual is None and exact)
         nb = rt.cap
-        bpos = jnp.clip(build_pos, 0, nb - 1)
+        if unique_mode:
+            # optimistic unique-build join: output row i = probe row i, no
+            # expansion (and no searchsorted over match offsets). A build
+            # side with duplicate keys trips the overflow flag and the
+            # host retries with the expansion variant.
+            self._overflow_flags.append(jnp.max(counts) > 1)
+            inner_cap = lt.cap
+            probe_row = jnp.arange(lt.cap, dtype=jnp.int32)
+            build_pos = jnp.clip(start, 0, nb - 1)
+            slot_valid = counts > 0
+            if lt.alive is not None:
+                slot_valid = slot_valid & lt.alive
+            total = jnp.sum(counts.astype(jnp.int64))
+            bpos = build_pos
+        else:
+            # matches can exceed either side alone (duplicates); size by
+            # the larger side, scaled by the (overflow-retried) factor
+            inner_cap = pad_count(max(lt.cap, rt.cap) * self.join_factor)
+            probe_row, build_pos, slot_valid = join_ops.expand_matches(
+                start, counts, inner_cap)
+            total = jnp.sum(counts.astype(jnp.int64))
+            self._overflow_flags.append(total > inner_cap)
+            bpos = jnp.clip(build_pos, 0, nb - 1)
         if not exact:
             ok = None
             for (la, _), ra in zip(l_keys, sb_verify):
@@ -926,15 +952,21 @@ class DistFragment:
         segments.append((exp_l, exp_b))
 
         if kind in (JoinKind.LEFT, JoinKind.FULL):
-            # surviving matches per probe row (expansion rows are grouped
-            # by ascending probe_row): cumsum + extent differencing
-            pidx = jnp.arange(lt.cap, dtype=jnp.int32)
-            ps = jnp.searchsorted(probe_row, pidx, side="left").astype(jnp.int32)
-            pe = jnp.searchsorted(probe_row, pidx, side="right").astype(jnp.int32)
-            csum = jnp.cumsum(slot_valid.astype(jnp.int32))
-            hi = csum[jnp.clip(pe - 1, 0, inner_cap - 1)]
-            lo_ = jnp.where(ps > 0, csum[jnp.clip(ps - 1, 0, inner_cap - 1)], 0)
-            surviving = jnp.where(pe > ps, hi - lo_, 0)
+            if unique_mode:
+                surviving = counts
+            else:
+                # surviving matches per probe row (expansion rows are
+                # grouped by ascending probe_row): cumsum + differencing
+                pidx = jnp.arange(lt.cap, dtype=jnp.int32)
+                ps = jnp.searchsorted(probe_row, pidx,
+                                      side="left").astype(jnp.int32)
+                pe = jnp.searchsorted(probe_row, pidx,
+                                      side="right").astype(jnp.int32)
+                csum = jnp.cumsum(slot_valid.astype(jnp.int32))
+                hi = csum[jnp.clip(pe - 1, 0, inner_cap - 1)]
+                lo_ = jnp.where(ps > 0,
+                                csum[jnp.clip(ps - 1, 0, inner_cap - 1)], 0)
+                surviving = jnp.where(pe > ps, hi - lo_, 0)
             seg_masks.append(lt.alive & (surviving == 0))
             segments.append((
                 [(c.arr, c.valid) for c in lt.cols],
