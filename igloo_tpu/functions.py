@@ -161,6 +161,47 @@ def _registry_builtin() -> dict[str, ScalarFunction]:
     date_fn("month", 1)
     date_fn("day", 2)
 
+    def days_from_civil(y, m, d):
+        y = y - (m <= 2)
+        era = jnp.floor_divide(y, 400)
+        yoe = y - era * 400
+        mp = m + jnp.where(m > 2, -3, 9)
+        doy = jnp.floor_divide(153 * mp + 2, 5) + d - 1
+        doe = yoe * 365 + jnp.floor_divide(yoe, 4) \
+            - jnp.floor_divide(yoe, 100) + doy
+        return era * 146097 + doe - 719468
+
+    def _interval_shift(args):
+        base, months, days, us = args
+        months = months.astype(jnp.int64)
+        days = days.astype(jnp.int64)
+        us = us.astype(jnp.int64)
+        is_ts = base.dtype == jnp.int64
+        base_days = (jnp.floor_divide(base.astype(jnp.int64), 86_400_000_000)
+                     if is_ts else base.astype(jnp.int64))
+        tod = (base.astype(jnp.int64) - base_days * 86_400_000_000
+               if is_ts else jnp.zeros_like(base_days))
+        y, m, d = civil_from_days(base_days)
+        # calendar month shift with day clamped to the target month length
+        total_m = (y * 12 + (m - 1)) + months
+        ny = jnp.floor_divide(total_m, 12)
+        nm = total_m - ny * 12 + 1
+        # days in target month (civil trick: day 0 of next month)
+        next_m = jnp.where(nm == 12, 1, nm + 1)
+        next_y = jnp.where(nm == 12, ny + 1, ny)
+        month_len = days_from_civil(next_y, next_m, 1) \
+            - days_from_civil(ny, nm, 1)
+        nd = jnp.minimum(d, month_len)
+        out_days = days_from_civil(ny, nm, nd) + days
+        if is_ts:
+            return out_days * 86_400_000_000 + tod + us
+        return out_days.astype(jnp.int32)
+
+    add(ScalarFunction(
+        "interval_shift", "numeric",
+        ret_type=lambda a: a[0],
+        device_fn=_interval_shift, min_args=4, max_args=4))
+
     # ---- string → string (dictionary transforms) ----
     def str_fn(name, host):
         add(ScalarFunction(

@@ -794,6 +794,12 @@ class Binder:
             if tname not in _TYPE_NAMES:
                 raise BindError(f"unknown type {tname!r} in CAST")
             target = _TYPE_NAMES[tname]
+            if (target.is_temporal and isinstance(operand, BLiteral)
+                    and operand.dtype.is_string):
+                # DATE '...' / TIMESTAMP '...' → typed literal now
+                _, lit = _coerce_temporal(
+                    BLiteral(target, False, 0), operand)
+                return lit
             return BCast(target, operand.nullable or e.safe, operand, e.safe)
         if isinstance(e, ast.Case):
             return self._bind_case(e, scope)
@@ -814,6 +820,33 @@ class Binder:
         raise NotSupportedError(f"expression {type(e).__name__}")
 
     def _bind_binary(self, e: ast.BinaryOp, scope: Scope) -> BExpr:
+        # temporal ± INTERVAL → calendar-shift device function
+        if e.op in (ast.BinOp.ADD, ast.BinOp.SUB):
+            liv = isinstance(e.left, ast.IntervalLiteral)
+            riv = isinstance(e.right, ast.IntervalLiteral)
+            if liv or riv:
+                if liv and e.op is ast.BinOp.SUB:
+                    raise BindError("INTERVAL - timestamp is not valid SQL")
+                iv = e.left if liv else e.right
+                other = e.right if liv else e.left
+                base = self.bind_expr(other, scope)
+                if isinstance(base, BLiteral) and base.dtype.is_string:
+                    # implicit cast of a bare string literal date
+                    _, base = _coerce_temporal(
+                        BLiteral(SqlType.DATE32, False, 0), base)
+                if not base.dtype.is_temporal:
+                    raise BindError("INTERVAL arithmetic needs a DATE or "
+                                    "TIMESTAMP operand")
+                sign = -1 if e.op is ast.BinOp.SUB else 1
+                args = (base,
+                        BLiteral(SqlType.INT64, False, sign * iv.months),
+                        BLiteral(SqlType.INT64, False, sign * iv.days),
+                        BLiteral(SqlType.INT64, False, sign * iv.micros))
+                return BScalarFunc(base.dtype, base.nullable,
+                                   "interval_shift", args)
+        if isinstance(e.left, ast.IntervalLiteral) or isinstance(
+                e.right, ast.IntervalLiteral):
+            raise BindError("INTERVAL literals only support + and -")
         l = self.bind_expr(e.left, scope)
         r = self.bind_expr(e.right, scope)
         nullable = l.nullable or r.nullable

@@ -126,6 +126,13 @@ class Case(Expr):
 
 
 @dataclasses.dataclass(frozen=True)
+class IntervalLiteral(Expr):
+    months: int = 0
+    days: int = 0
+    micros: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
 class WindowCall(Expr):
     func: str                   # lower-cased window/aggregate function
     args: tuple

@@ -470,6 +470,13 @@ class Parser:
             return e
         if t.kind is Tok.IDENT or t.is_kw("first", "last", "values"):
             name = self.next().value
+            low = name.lower()
+            # typed literals: DATE '...', TIMESTAMP '...', INTERVAL '...'
+            if low in ("date", "timestamp") and self.peek().kind is Tok.STRING:
+                s = self.next().value
+                return ast.Cast(ast.Literal(s), low)
+            if low == "interval" and self.peek().kind is Tok.STRING:
+                return self.parse_interval()
             # function call
             if self.peek().kind is Tok.LPAREN:
                 self.next()
@@ -516,6 +523,37 @@ class Parser:
                 return ast.ColumnRef(col, table=name)
             return ast.ColumnRef(name)
         self.err("expected expression")
+
+    _INTERVAL_UNITS = {
+        "year": (12, 0, 0), "years": (12, 0, 0),
+        "month": (1, 0, 0), "months": (1, 0, 0),
+        "week": (0, 7, 0), "weeks": (0, 7, 0),
+        "day": (0, 1, 0), "days": (0, 1, 0),
+        "hour": (0, 0, 3_600_000_000), "hours": (0, 0, 3_600_000_000),
+        "minute": (0, 0, 60_000_000), "minutes": (0, 0, 60_000_000),
+        "second": (0, 0, 1_000_000), "seconds": (0, 0, 1_000_000),
+    }
+
+    def parse_interval(self) -> ast.Expr:
+        body = self.next().value.strip()       # the quoted part
+        parts = body.split()
+        unit = None
+        if (self.peek().kind is Tok.IDENT
+                and self.peek().value.lower() in self._INTERVAL_UNITS):
+            unit = self.next().value.lower()
+        if unit is not None:
+            qty_str, rest = body, []
+        elif len(parts) >= 2 and parts[1].lower() in self._INTERVAL_UNITS:
+            qty_str, unit = parts[0], parts[1].lower()
+        else:
+            self.err("INTERVAL needs a unit (e.g. INTERVAL '1' YEAR)")
+        try:
+            qty = int(qty_str)
+        except ValueError:
+            self.err(f"invalid interval quantity {qty_str!r}")
+        m, d, us = self._INTERVAL_UNITS[unit]
+        return ast.IntervalLiteral(months=qty * m, days=qty * d,
+                                   micros=qty * us)
 
     def parse_type_name(self) -> str:
         parts = [self.next().value]

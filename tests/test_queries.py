@@ -504,3 +504,25 @@ def test_outer_join_with_residual(engine):
         "ORDER BY x NULLS LAST, lim NULLS LAST")
     assert rows(out3, "x", "lim") == [
         (5, None), (9, None), (15, 10), (25, 20), (None, 30)]
+
+
+def test_typed_date_literals_and_intervals(engine):
+    import datetime
+    engine.register_table("dt", pa.table({
+        "d": pa.array([datetime.date(1994, 6, 15), datetime.date(1995, 6, 15),
+                       datetime.date(1996, 1, 31)], type=pa.date32()),
+        "v": [1, 2, 3],
+    }))
+    out = engine.execute(
+        "SELECT v FROM dt WHERE d >= DATE '1994-01-01' "
+        "AND d < DATE '1994-01-01' + INTERVAL '1' YEAR ORDER BY v")
+    assert out.column("v").to_pylist() == [1]
+    out2 = engine.execute(
+        "SELECT v FROM dt WHERE d - INTERVAL '6 months' >= DATE '1995-01-01' "
+        "ORDER BY v")
+    assert out2.column("v").to_pylist() == [3]
+    # calendar clamping: Jan 31 + 1 month = Feb 29 (1996 is a leap year)
+    out3 = engine.execute(
+        "SELECT year(d + INTERVAL '1' MONTH) AS y, month(d + INTERVAL '1' MONTH) AS m, "
+        "day(d + INTERVAL '1' MONTH) AS dd FROM dt WHERE v = 3")
+    assert rows(out3, "y", "m", "dd") == [(1996, 2, 29)]
