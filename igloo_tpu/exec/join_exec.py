@@ -60,6 +60,13 @@ def execute_join(ex, node: L.Join, left, right):
         l_keys.append((la, lv))
         r_keys.append((ra, rv))
 
+    # stats-based range compression: multi-column keys whose value spans
+    # (from ingest stats / dictionary sizes) fit 63 bits together pack
+    # into ONE exact int64 key even when raw dtypes wouldn't fit
+    packed = _pack_keys_with_stats(node, left, right, l_keys, r_keys)
+    if packed is not None:
+        l_keys, r_keys = packed
+
     exact_dtypes = [a.dtype for a, _ in l_keys]
     _, exact = join_ops.normalize_keys(
         [jnp.zeros((1,), d) for d in exact_dtypes])
@@ -182,6 +189,63 @@ def execute_join(ex, node: L.Join, left, right):
     if node.residual is not None:
         rt = _apply_residual(ex, rt, node.residual)
     return rt
+
+
+def _pack_keys_with_stats(node, left, right, l_keys, r_keys):
+    """Try to replace multi-column keys with one range-compressed int64.
+
+    Per key column pair, the joint value range must be known: integer
+    ingest stats or string dictionary size on BOTH sides. Returns
+    ([(l_key64, l_valid)], [(r_key64, r_valid)]) or None."""
+    if len(l_keys) < 2:
+        return None
+
+    def bounds(expr, rt_cols):
+        if not isinstance(expr, L.BColumn) or expr.index >= len(rt_cols):
+            return None
+        c = rt_cols[expr.index]
+        if c.dictionary is not None:
+            return 0, max(len(c.dictionary) - 1, 0)
+        st = getattr(c, "stats", None)
+        if st is not None and expr.dtype.is_integer:
+            return int(st[0]), int(st[1])
+        return None
+
+    plan = []
+    total_bits = 0
+    for (la, lv), (ra, rv), le, re_ in zip(l_keys, r_keys,
+                                           node.left_keys, node.right_keys):
+        lb = bounds(le, left.cols)
+        rb = bounds(re_, right.cols)
+        if lb is None or rb is None:
+            return None
+        lo = min(lb[0], rb[0])
+        hi = max(lb[1], rb[1])
+        span = hi - lo + 1
+        width = max(span - 1, 1).bit_length()
+        total_bits += width
+        plan.append((lo, span, width))
+    if total_bits > 63:
+        return None
+
+    def pack(keys):
+        key = None
+        for (arr, _), (lo, span, width) in zip(keys, plan):
+            part = jnp.clip(arr.astype(jnp.int64) - lo, 0, span - 1)
+            key = part if key is None else ((key << width) | part)
+        return key
+
+    lk = pack(l_keys)
+    rk = pack(r_keys)
+
+    def combine_valid(keys):
+        v = None
+        for _, valid in keys:
+            if valid is not None:
+                v = valid if v is None else (v & valid)
+        return v
+
+    return ([(lk, combine_valid(l_keys))], [(rk, combine_valid(r_keys))])
 
 
 @dataclasses.dataclass

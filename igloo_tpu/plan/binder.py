@@ -605,9 +605,14 @@ class Binder:
 
     def _bind_subquery_join(self, plan, scope, mode, operand_ast, query,
                             negated):
-        """Uncorrelated [NOT] IN / [NOT] EXISTS → SEMI/ANTI join.
+        """[NOT] IN / [NOT] EXISTS → SEMI/ANTI join; correlated equality
+        predicates decorrelate into extra join keys (TPC-H Q4/Q21 shape).
         NOT IN is null-aware (any NULL in the subquery, or a NULL probe
         value, removes the row — SQL three-valued logic)."""
+        corr = self._try_decorrelate_exists(plan, scope, mode, operand_ast,
+                                            query, negated)
+        if corr is not None:
+            return corr
         sub = self.bind(query)
         kind = ast.JoinKind.ANTI if negated else ast.JoinKind.SEMI
         if mode == "in":
@@ -627,6 +632,93 @@ class Binder:
             right_keys = (BLiteral(SqlType.INT64, False, 0),)
         return Join(plan, sub, kind, left_keys, right_keys, None,
                     tuple(plan.schema))
+
+    def _try_decorrelate_exists(self, plan, scope, mode, operand_ast,
+                                query, negated):
+        """Correlated EXISTS/IN with equality correlation:
+
+            EXISTS (SELECT ... FROM s WHERE s.k = outer.k AND <preds>)
+            x IN   (SELECT y FROM s WHERE s.k = outer.k AND <preds>)
+
+        become SEMI/ANTI joins keyed on (outer.k, s.k) [+ (x, y) for IN],
+        with <preds> staying as a filter on the subquery side. Returns
+        None when the subquery is not of this supported shape (the caller
+        then binds it as uncorrelated)."""
+        if not isinstance(query, ast.Select):
+            return None
+        if (query.group_by or query.having or query.ctes or query.distinct
+                or query.from_ is None or query.limit is not None):
+            return None
+        if query.where is None:
+            return None
+
+        try:
+            sub_plan, sub_scope = self.bind_relation(query.from_)
+        except (BindError, NotSupportedError):
+            return None
+
+        corr_pairs = []     # (outer BExpr, inner BExpr)
+        inner_preds = []
+        correlated = False
+        for conj in _split_and(query.where):
+            pair = self._corr_eq(conj, sub_scope, scope)
+            if pair is not None:
+                corr_pairs.append(pair)
+                correlated = True
+                continue
+            try:
+                inner_preds.append(self.bind_expr(conj, sub_scope))
+            except BindError:
+                return None     # some other outer reference — unsupported
+        if not correlated:
+            return None         # plain uncorrelated path handles it
+
+        sub = sub_plan
+        for p_ in inner_preds:
+            sub = Filter(sub, p_)
+
+        left_keys = [o for o, _ in corr_pairs]
+        right_keys = [i for _, i in corr_pairs]
+        if mode == "in":
+            operand = self.bind_expr(operand_ast, scope)
+            items = query.items
+            if len(items) != 1 or isinstance(items[0].expr, ast.Star):
+                raise BindError("IN subquery must return exactly one column")
+            inner_val = self.bind_expr(items[0].expr, sub_scope)
+            left_keys.append(operand)
+            right_keys.append(inner_val)
+            if negated:
+                raise NotSupportedError(
+                    "correlated NOT IN is not supported yet; "
+                    "rewrite with NOT EXISTS")
+        kind = ast.JoinKind.ANTI if negated else ast.JoinKind.SEMI
+        return Join(plan, sub, kind, tuple(left_keys), tuple(right_keys),
+                    None, tuple(plan.schema))
+
+    def _corr_eq(self, conj, inner_scope: Scope, outer_scope: Scope):
+        """inner.col = outer.col (either orientation) → (outer, inner)."""
+        if not (isinstance(conj, ast.BinaryOp)
+                and conj.op is ast.BinOp.EQ):
+            return None
+
+        def side(e, scope):
+            if isinstance(e, ast.ColumnRef):
+                try:
+                    i = scope.resolve(e.name, e.table)
+                except BindError:
+                    return None
+                f = scope.fields[i]
+                return BColumn(f.dtype, f.nullable, i, f.name)
+            return None
+
+        li, lo = side(conj.left, inner_scope), side(conj.left, outer_scope)
+        ri, ro = side(conj.right, inner_scope), side(conj.right, outer_scope)
+        # one side must resolve ONLY inner, the other ONLY outer
+        if li is not None and lo is None and ro is not None and ri is None:
+            return (ro, li)
+        if ri is not None and ro is None and lo is not None and li is None:
+            return (lo, ri)
+        return None
 
     # ================= relations =================
 

@@ -526,3 +526,26 @@ def test_typed_date_literals_and_intervals(engine):
         "SELECT year(d + INTERVAL '1' MONTH) AS y, month(d + INTERVAL '1' MONTH) AS m, "
         "day(d + INTERVAL '1' MONTH) AS dd FROM dt WHERE v = 3")
     assert rows(out3, "y", "m", "dd") == [(1996, 2, 29)]
+
+
+def test_correlated_exists(engine):
+    engine.register_table("cust", pa.table({"id": [1, 2, 3], "nm": ["a", "b", "c"]}))
+    engine.register_table("ords", pa.table({
+        "cid": [1, 1, 3], "total": [5, 50, 8]}))
+    out = engine.execute(
+        "SELECT nm FROM cust WHERE EXISTS "
+        "(SELECT 1 FROM ords WHERE ords.cid = cust.id AND total > 10) ORDER BY nm")
+    assert out.column("nm").to_pylist() == ["a"]
+    out2 = engine.execute(
+        "SELECT nm FROM cust WHERE NOT EXISTS "
+        "(SELECT 1 FROM ords WHERE ords.cid = cust.id) ORDER BY nm")
+    assert out2.column("nm").to_pylist() == ["b"]
+
+
+def test_correlated_in(engine):
+    engine.register_table("t1", pa.table({"g": [1, 1, 2], "x": [10, 20, 30]}))
+    engine.register_table("t2", pa.table({"g": [1, 1, 2], "y": [10, 99, 31]}))
+    out = engine.execute(
+        "SELECT x FROM t1 WHERE x IN (SELECT y FROM t2 WHERE t2.g = t1.g) "
+        "ORDER BY x")
+    assert out.column("x").to_pylist() == [10]
