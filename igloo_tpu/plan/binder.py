@@ -148,19 +148,28 @@ class Binder:
         # ---- WHERE ----
         if sel.where is not None:
             normal = []
+            extra_preds = []     # bound preds over the (join-extended) schema
             for conj in _split_and(sel.where):
                 sub = self._try_subquery_conjunct(conj)
                 if sub is not None:
                     plan = self._bind_subquery_join(plan, scope, *sub)
-                else:
-                    normal.append(conj)
-            if normal:
-                where = normal[0]
-                for c in normal[1:]:
-                    where = ast.BinaryOp(ast.BinOp.AND, where, c)
-                pred = self.bind_expr(where, scope)
-                if pred.dtype not in (SqlType.BOOL, SqlType.NULL):
+                    continue
+                scalar = self._try_decorrelate_scalar_cmp(plan, scope, conj)
+                if scalar is not None:
+                    plan, pred = scalar
+                    extra_preds.append(pred)
+                    continue
+                normal.append(conj)
+            preds = [self.bind_expr(c, scope) for c in normal] + extra_preds
+            for p_ in preds:
+                if p_.dtype not in (SqlType.BOOL, SqlType.NULL):
                     raise BindError("WHERE predicate must be boolean")
+            if preds:
+                pred = preds[0]
+                for p_ in preds[1:]:
+                    pred = BBinary(SqlType.BOOL,
+                                   pred.nullable or p_.nullable,
+                                   ast.BinOp.AND, pred, p_)
                 plan = Filter(plan, pred)
 
         # ---- expand stars, collect select items ----
@@ -694,6 +703,110 @@ class Binder:
         kind = ast.JoinKind.ANTI if negated else ast.JoinKind.SEMI
         return Join(plan, sub, kind, tuple(left_keys), tuple(right_keys),
                     None, tuple(plan.schema))
+
+    def _try_decorrelate_scalar_cmp(self, plan, scope, conj):
+        """Correlated scalar-aggregate subquery in a WHERE comparison:
+
+            expr < (SELECT agg(...) FROM s WHERE s.k = outer.k [AND preds])
+
+        (TPC-H Q17 shape) → LEFT JOIN against the per-key aggregated
+        subquery; the comparison references the joined value column.
+        Returns (new_plan, bound predicate) or None."""
+        if not (isinstance(conj, ast.BinaryOp) and conj.op in _CMP_OPS):
+            return None
+        if isinstance(conj.right, ast.ScalarSubquery):
+            other_ast, subq, flipped = conj.left, conj.right.query, False
+        elif isinstance(conj.left, ast.ScalarSubquery):
+            other_ast, subq, flipped = conj.right, conj.left.query, True
+        else:
+            return None
+        if not isinstance(subq, ast.Select):
+            return None
+        if (subq.group_by or subq.having or subq.ctes or subq.distinct
+                or subq.from_ is None or subq.where is None
+                or len(subq.items) != 1):
+            return None
+        item = subq.items[0].expr
+        if not self._contains_agg(item):
+            return None
+
+        try:
+            sub_from, sub_scope = self.bind_relation(subq.from_)
+        except (BindError, NotSupportedError):
+            return None
+
+        corr_pairs = []
+        inner_preds = []
+        for c in _split_and(subq.where):
+            pair = self._corr_eq(c, sub_scope, scope)
+            if pair is not None:
+                corr_pairs.append(pair)
+                continue
+            try:
+                inner_preds.append(self.bind_expr(c, sub_scope))
+            except BindError:
+                return None
+        if not corr_pairs:
+            return None    # uncorrelated scalar subqueries take the old path
+
+        from .logical import Aggregate
+
+        inner = sub_from
+        for p_ in inner_preds:
+            inner = Filter(inner, p_)
+
+        # aggregate grouped by the correlation keys
+        group_bound = tuple(i for _, i in corr_pairs)
+        agg_calls: list[ast.FunctionCall] = []
+        for fc in self._iter_agg_calls(item):
+            if fc not in agg_calls:
+                agg_calls.append(fc)
+        specs = tuple(
+            self._bind_agg_call(fc, sub_scope, f"__cagg_{i}")
+            for i, fc in enumerate(agg_calls))
+        group_fields = [
+            Field(f"__ckey_{i}", g.dtype, g.nullable)
+            for i, g in enumerate(group_bound)
+        ]
+        agg_fields = [Field(s.out_name, s.out_dtype, s.out_nullable)
+                      for s in specs]
+        agg_schema = tuple(group_fields) + tuple(agg_fields)
+        sub = Aggregate(inner, group_bound, specs, agg_schema)
+
+        # the subquery's value expression over the aggregate output
+        ng = len(group_bound)
+
+        def rewrite(e):
+            if isinstance(e, ast.FunctionCall) and self._is_agg(e):
+                j = agg_calls.index(e)
+                f = agg_schema[ng + j]
+                return _PreBound(BColumn(f.dtype, f.nullable, ng + j, f.name))
+            return _rebuild_ast(e, [rewrite(c) for c in _ast_children(e)])
+
+        val = self.bind_expr(rewrite(item), _AggScope(list(agg_schema)))
+        key_cols = tuple(
+            BColumn(f.dtype, f.nullable, i, f.name)
+            for i, f in enumerate(group_fields))
+        sub_proj_schema = tuple(group_fields) + (
+            Field("__cval", val.dtype, True),)
+        sub = Projection(sub, key_cols + (val,), sub_proj_schema)
+
+        # LEFT JOIN on the correlation keys (missing key → NULL value)
+        nl = len(plan.schema)
+        left_keys = tuple(o for o, _ in corr_pairs)
+        right_keys = key_cols
+        joined_fields = tuple(plan.schema) + tuple(
+            dataclasses.replace(f, nullable=True) for f in sub_proj_schema)
+        new_plan = Join(plan, sub, ast.JoinKind.LEFT, left_keys, right_keys,
+                        None, joined_fields)
+
+        val_col = BColumn(val.dtype, True, nl + len(group_fields), "__cval")
+        other = self.bind_expr(other_ast, scope)
+        l, r = (val_col, other) if flipped else (other, val_col)
+        l, r = _coerce_temporal(l, r)
+        self._check_comparable(l, r, conj.op)
+        pred = BBinary(SqlType.BOOL, True, conj.op, l, r)
+        return new_plan, pred
 
     def _corr_eq(self, conj, inner_scope: Scope, outer_scope: Scope):
         """inner.col = outer.col (either orientation) → (outer, inner)."""

@@ -549,3 +549,18 @@ def test_correlated_in(engine):
         "SELECT x FROM t1 WHERE x IN (SELECT y FROM t2 WHERE t2.g = t1.g) "
         "ORDER BY x")
     assert out.column("x").to_pylist() == [10]
+
+
+def test_correlated_scalar_aggregate_subquery(engine):
+    # TPC-H Q17 shape: per-key threshold from a correlated aggregate
+    engine.register_table("li", pa.table({
+        "pk": [1, 1, 1, 2, 2, 3],
+        "qty": [1, 10, 100, 4, 6, 9],
+    }))
+    out = engine.execute(
+        "SELECT pk, qty FROM li l1 WHERE qty < "
+        "(SELECT 0.5 * avg(qty) FROM li l2 WHERE l2.pk = l1.pk) "
+        "ORDER BY pk, qty")
+    # pk=1 avg=37 → threshold 18.5 → qty 1,10 pass; pk=2 avg=5 → 2.5 none;
+    # pk=3 single row 9 < 4.5 no
+    assert rows(out, "pk", "qty") == [(1, 1), (1, 10)]
