@@ -20,9 +20,14 @@ from __future__ import annotations
 
 import json
 import math
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def _hbm_bandwidth_gbps() -> float:
@@ -42,7 +47,9 @@ def _hbm_bandwidth_gbps() -> float:
 
 def _time_query(eng, sql: str, iters: int = 5) -> float:
     """Median wall time of the device query (result stays on device)."""
+    t0 = time.perf_counter()
     eng.sql(sql)  # warm: trace + compile
+    _log(f"warm {time.perf_counter() - t0:.1f}s: {sql[:60]}")
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -67,6 +74,7 @@ def main() -> None:
 
     # ---- config #1: filter + projection ----
     n1 = 1 << 26
+    _log("generating filter table")
     eng.register_table("people", pa.table({
         "age": pa.array(rng.integers(0, 100, n1), type=pa.int32()),
         "name": pa.array(rng.integers(0, 100_000, n1), type=pa.int32()),
@@ -80,6 +88,7 @@ def main() -> None:
 
     # ---- config #2: low-cardinality hash aggregate ----
     n2 = 100_000_000   # BASELINE config #2: 100M rows
+    _log("generating aggregate table")
     eng.register_table("events", pa.table({
         "k": pa.array(rng.integers(0, 256, n2), type=pa.int32()),
         "v": pa.array(rng.integers(0, 1000, n2), type=pa.int32()),
@@ -94,6 +103,7 @@ def main() -> None:
     # ---- config #3: fact-dim hash join + post-join filter ----
     n3 = 1 << 24
     ndim = 1 << 15
+    _log("generating join tables")
     eng.register_table("lineitem", pa.table({
         "okey": pa.array(rng.integers(0, ndim, n3), type=pa.int32()),
         "qty": pa.array(rng.integers(1, 50, n3), type=pa.int32()),
@@ -113,6 +123,7 @@ def main() -> None:
 
     # ---- config #4: sort / top-k ----
     n4 = 1 << 25
+    _log("generating sort table")
     eng.register_table("keys64", pa.table({
         "k": pa.array(rng.integers(0, 1 << 62, n4), type=pa.int64()),
     }))
