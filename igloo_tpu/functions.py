@@ -161,6 +161,53 @@ def _registry_builtin() -> dict[str, ScalarFunction]:
     date_fn("month", 1)
     date_fn("day", 2)
 
+    def _to_days_and_tod(a):
+        if a.dtype == jnp.int64:   # timestamp µs
+            days = jnp.floor_divide(a, 86_400_000_000)
+            return days, a - days * 86_400_000_000
+        return a.astype(jnp.int64), None
+
+    def temporal_fn(name, impl):
+        def rt(arg_types, n=name):
+            if not arg_types[0].is_temporal:
+                raise BindError(f"{n}() expects a DATE or TIMESTAMP")
+            return SqlType.INT64
+        add(ScalarFunction(name, "numeric", ret_type=rt, device_fn=impl))
+
+    def _quarter(args):
+        days, _ = _to_days_and_tod(args[0])
+        _, m, _d = civil_from_days(days)
+        return (jnp.floor_divide(m + 2, 3)).astype(jnp.int64)
+
+    temporal_fn("quarter", _quarter)
+
+    def _time_part(divisor, modulo):
+        def impl(args):
+            _, tod = _to_days_and_tod(args[0])
+            if tod is None:
+                return jnp.zeros(args[0].shape, jnp.int64)
+            return jnp.floor_divide(tod, divisor) % modulo
+        return impl
+
+    temporal_fn("hour", _time_part(3_600_000_000, 24))
+    temporal_fn("minute", _time_part(60_000_000, 60))
+    temporal_fn("second", _time_part(1_000_000, 60))
+
+    def _dow(args):
+        # 0 = Sunday (Postgres EXTRACT(DOW))
+        days, _ = _to_days_and_tod(args[0])
+        return (days + 4) % 7
+
+    temporal_fn("dow", _dow)
+
+    def _doy(args):
+        days, _ = _to_days_and_tod(args[0])
+        y, _m, _d = civil_from_days(days)
+        jan1 = days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
+        return days - jan1 + 1
+
+    temporal_fn("doy", _doy)
+
     def days_from_civil(y, m, d):
         y = y - (m <= 2)
         era = jnp.floor_divide(y, 400)

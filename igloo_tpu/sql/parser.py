@@ -477,6 +477,17 @@ class Parser:
                 return ast.Cast(ast.Literal(s), low)
             if low == "interval" and self.peek().kind is Tok.STRING:
                 return self.parse_interval()
+            if low == "extract" and self.peek().kind is Tok.LPAREN:
+                self.next()
+                unit_tok = self.next()
+                unit = unit_tok.value.lower()
+                if unit not in ("year", "month", "day", "quarter", "hour",
+                                "minute", "second", "dow", "doy"):
+                    self.err(f"unknown EXTRACT unit {unit!r}")
+                self.expect_kw("from")
+                inner = self.parse_expr()
+                self.expect(Tok.RPAREN)
+                return ast.FunctionCall(unit, (inner,))
             # function call
             if self.peek().kind is Tok.LPAREN:
                 self.next()

@@ -564,3 +564,18 @@ def test_correlated_scalar_aggregate_subquery(engine):
     # pk=1 avg=37 → threshold 18.5 → qty 1,10 pass; pk=2 avg=5 → 2.5 none;
     # pk=3 single row 9 < 4.5 no
     assert rows(out, "pk", "qty") == [(1, 1), (1, 10)]
+
+
+def test_extract_units(engine):
+    import datetime
+    engine.register_table("ex", pa.table({
+        "ts": pa.array([datetime.datetime(2021, 8, 17, 14, 35, 9)],
+                       type=pa.timestamp("us")),
+        "d": pa.array([datetime.date(2020, 2, 29)], type=pa.date32()),
+    }))
+    out = engine.execute(
+        "SELECT EXTRACT(year FROM ts) y, EXTRACT(quarter FROM ts) q, "
+        "EXTRACT(hour FROM ts) h, EXTRACT(second FROM ts) s, "
+        "EXTRACT(dow FROM d) dw, EXTRACT(doy FROM d) dy FROM ex")
+    assert rows(out, "y", "q", "h", "s", "dw", "dy") == [
+        (2021, 3, 14, 9, 6, 60)]
