@@ -846,6 +846,8 @@ class Binder:
             schema = self.catalog.table_schema(rel.name)
             fields = [dataclasses.replace(f, table=alias) for f in schema]
             return Scan(rel.name, tuple(fields)), Scope(fields)
+        if isinstance(rel, ast.ValuesRef):
+            return self._bind_values_ref(rel)
         if isinstance(rel, ast.SubqueryRef):
             sub = self.bind(rel.query)
             alias = rel.alias.lower()
@@ -854,6 +856,48 @@ class Binder:
         if isinstance(rel, ast.Join):
             return self._bind_join(rel)
         raise NotSupportedError(f"relation {type(rel).__name__}")
+
+    def _bind_values_ref(self, rel: ast.ValuesRef):
+        if not rel.rows:
+            raise BindError("VALUES needs at least one row")
+        width = len(rel.rows[0])
+        rows = []
+        for r in rel.rows:
+            if len(r) != width:
+                raise BindError("VALUES rows have differing widths")
+            vals = []
+            for e in r:
+                neg = False
+                if isinstance(e, ast.UnaryOp) and e.op is ast.UnOp.NEG:
+                    e, neg = e.operand, True
+                if not isinstance(e, ast.Literal):
+                    raise NotSupportedError(
+                        "VALUES rows must contain literals")
+                v = e.value
+                if neg:
+                    v = -v
+                vals.append(v)
+            rows.append(tuple(vals))
+        names = rel.col_names or tuple(
+            f"column{i + 1}" for i in range(width))
+        if len(names) != width:
+            raise BindError("VALUES column-name count mismatch")
+        fields = []
+        alias = rel.alias.lower()
+        for i, name in enumerate(names):
+            col_vals = [r[i] for r in rows]
+            dt = SqlType.NULL
+            for v in col_vals:
+                vt, _ = _infer_literal(v)
+                dt = vt if dt is SqlType.NULL else (
+                    dt if vt is SqlType.NULL else common_type(dt, vt))
+            if dt is SqlType.NULL:
+                dt = SqlType.INT64
+            fields.append(Field(name, dt,
+                                any(v is None for v in col_vals),
+                                table=alias))
+        plan = Values(tuple(fields), tuple(rows))
+        return plan, Scope(fields)
 
     def _bind_join(self, j: ast.Join) -> tuple[LogicalPlan, Scope]:
         from .logical import shift_columns

@@ -181,6 +181,13 @@ class SubqueryRef(Relation):
     alias: str
 
 
+@dataclasses.dataclass(frozen=True)
+class ValuesRef(Relation):
+    rows: tuple                 # tuple of tuples of Expr (literals)
+    alias: str
+    col_names: tuple = ()
+
+
 class JoinKind(enum.Enum):
     INNER = "INNER"
     LEFT = "LEFT"

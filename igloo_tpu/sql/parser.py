@@ -277,6 +277,28 @@ class Parser:
 
     def parse_table_factor(self) -> ast.Relation:
         if self.accept(Tok.LPAREN):
+            if self.accept_kw("values"):
+                rows = []
+                while True:
+                    self.expect(Tok.LPAREN)
+                    row = [self.parse_expr()]
+                    while self.accept(Tok.COMMA):
+                        row.append(self.parse_expr())
+                    self.expect(Tok.RPAREN)
+                    rows.append(tuple(row))
+                    if not self.accept(Tok.COMMA):
+                        break
+                self.expect(Tok.RPAREN)
+                self.accept_kw("as")
+                alias = self.ident()
+                col_names = ()
+                if self.accept(Tok.LPAREN):
+                    names = [self.ident()]
+                    while self.accept(Tok.COMMA):
+                        names.append(self.ident())
+                    self.expect(Tok.RPAREN)
+                    col_names = tuple(names)
+                return ast.ValuesRef(tuple(rows), alias, col_names)
             sub = self.parse_query()
             self.expect(Tok.RPAREN)
             self.accept_kw("as")

@@ -579,3 +579,14 @@ def test_extract_units(engine):
         "EXTRACT(dow FROM d) dw, EXTRACT(doy FROM d) dy FROM ex")
     assert rows(out, "y", "q", "h", "s", "dw", "dy") == [
         (2021, 3, 14, 9, 6, 60)]
+
+
+def test_values_table_constructor(engine):
+    out = engine.execute(
+        "SELECT c1, c2 FROM (VALUES (1, 'a'), (2, 'b'), (-3, NULL)) "
+        "AS v(c1, c2) ORDER BY c1")
+    assert rows(out, "c1", "c2") == [(-3, None), (1, "a"), (2, "b")]
+    out2 = engine.execute(
+        "SELECT t.x, v.c2 FROM (VALUES (1, 'one'), (2, 'two')) v(c1, c2) "
+        "JOIN (VALUES (1, 10), (2, 20)) t(c1, x) ON v.c1 = t.c1 ORDER BY x")
+    assert rows(out2, "x", "c2") == [(10, "one"), (20, "two")]
