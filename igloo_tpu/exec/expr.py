@@ -268,9 +268,21 @@ class ExprPrep:
         lk, lp = self._string_operand_repr(e.left)
         rk, rp = self._string_operand_repr(e.right)
         if lk == "col" and rk == "col":
-            raise NotSupportedError(
-                "string-column || string-column needs host materialization; "
-                "not supported on device yet")
+            # pair-dictionary encoding: the product dictionary covers every
+            # (left, right) combination; the device computes one packed
+            # index per row and gathers the remap
+            if len(lp) * len(rp) > (1 << 20):
+                raise NotSupportedError(
+                    "string || string with a combined dictionary over 2^20 "
+                    "entries is not supported")
+            product = np.asarray(
+                [a + b for a in lp for b in rp], dtype=object)
+            new_dict, remap = sort_unique_dict(product)
+            info["mode"] = "pair"
+            info["rwidth"] = len(rp)
+            info["remap_aux"] = self._add_aux(remap)
+            self.node_out_dict[id(e)] = new_dict
+            return
         if lk == "lit" and rk == "lit":
             val = None if (lp is None or rp is None) else lp + rp
             info["mode"] = "lit"
@@ -805,5 +817,10 @@ def _eval_concat(e: BBinary, ctx: EvalCtx, l: VV, r: VV) -> VV:
         remap = ctx.get_aux(info["remap_aux"])
         src = l if info["col_side"] == "l" else r
         codes = remap[jnp.clip(src.arr, 0, remap.shape[0] - 1)]
+        return VV(codes, valid)
+    if mode == "pair":
+        remap = ctx.get_aux(info["remap_aux"])
+        idx = l.arr.astype(jnp.int32) * info["rwidth"] + r.arr.astype(jnp.int32)
+        codes = remap[jnp.clip(idx, 0, remap.shape[0] - 1)]
         return VV(codes, valid)
     raise ExecutionError(f"unknown concat mode {mode}")

@@ -590,3 +590,10 @@ def test_values_table_constructor(engine):
         "SELECT t.x, v.c2 FROM (VALUES (1, 'one'), (2, 'two')) v(c1, c2) "
         "JOIN (VALUES (1, 10), (2, 20)) t(c1, x) ON v.c1 = t.c1 ORDER BY x")
     assert rows(out2, "x", "c2") == [(10, "one"), (20, "two")]
+
+
+def test_string_concat_columns(engine):
+    engine.register_table("cc", pa.table({
+        "a": ["x", "y", None], "b": ["1", "2", "3"]}))
+    out = engine.execute("SELECT a || '-' || b AS j FROM cc ORDER BY j NULLS LAST")
+    assert out.column("j").to_pylist() == ["x-1", "y-2", None]
