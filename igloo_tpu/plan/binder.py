@@ -362,90 +362,136 @@ class Binder:
         return plan, new_scope, new_items, having, rebind
 
     def _bind_window(self, plan, scope, items, win_calls):
-        first = win_calls[0]
-        for w in win_calls[1:]:
-            if (w.partition_by != first.partition_by
-                    or w.order_by != first.order_by):
-                raise NotSupportedError(
-                    "all window functions in one SELECT must share the same "
-                    "PARTITION BY / ORDER BY clause (for now)")
-        partition = tuple(self.bind_expr(e, scope) for e in first.partition_by)
-        order_keys = tuple(self._bind_order_item(o, scope, None)
-                           for o in first.order_by)
-
-        specs = []
-        for j, w in enumerate(win_calls):
-            name = w.func
-            out_name = f"__win_{j}"
-            if name in ("row_number", "rank", "dense_rank"):
-                if w.args:
-                    raise BindError(f"{name}() takes no arguments")
-                if name != "row_number" and not order_keys:
-                    raise BindError(f"{name}() requires ORDER BY")
-                specs.append(WindowFuncSpec(name, None, 0, out_name,
-                                            SqlType.INT64, False))
-            elif name in ("lag", "lead"):
-                if not (1 <= len(w.args) <= 2):
-                    raise BindError(f"{name}(expr [, offset])")
-                if not order_keys:
-                    raise BindError(f"{name}() requires ORDER BY")
-                arg = self.bind_expr(w.args[0], scope)
-                off = 1
-                if len(w.args) == 2:
-                    lit = w.args[1]
-                    if not (isinstance(lit, ast.Literal)
-                            and isinstance(lit.value, int)):
-                        raise BindError(f"{name}() offset must be an "
-                                        "integer literal")
-                    off = lit.value
-                specs.append(WindowFuncSpec(name, arg, off, out_name,
-                                            arg.dtype, True))
-            elif name in ("first_value", "last_value"):
-                if len(w.args) != 1:
-                    raise BindError(f"{name}(expr)")
-                arg = self.bind_expr(w.args[0], scope)
-                specs.append(WindowFuncSpec(name, arg, 0, out_name,
-                                            arg.dtype, True))
-            elif name in ("sum", "count", "avg", "min", "max"):
-                if name == "count" and len(w.args) == 1                         and isinstance(w.args[0], ast.Star):
-                    specs.append(WindowFuncSpec("count_star", None, 0,
-                                                out_name, SqlType.INT64,
-                                                False))
-                    continue
-                if len(w.args) != 1:
-                    raise BindError(f"window {name}() takes one argument")
-                arg = self.bind_expr(w.args[0], scope)
-                if name == "count":
-                    dt, nl = SqlType.INT64, False
-                elif name == "sum":
-                    dt = (SqlType.INT64 if arg.dtype.is_integer
-                          else SqlType.FLOAT64)
-                    nl = True
-                elif name == "avg":
-                    dt, nl = SqlType.FLOAT64, True
-                else:
-                    dt, nl = arg.dtype, True
-                specs.append(WindowFuncSpec(name, arg, 0, out_name, dt, nl))
+        # calls sharing one (PARTITION BY, ORDER BY) clause compute in one
+        # Window node (one partition sort); distinct clauses stack Window
+        # nodes — appended output columns keep earlier indices valid
+        groups: list[list] = []
+        for w in win_calls:
+            for grp in groups:
+                if (grp[0].partition_by == w.partition_by
+                        and grp[0].order_by == w.order_by):
+                    grp.append(w)
+                    break
             else:
-                raise NotSupportedError(f"window function {name}()")
+                groups.append([w])
 
-        base = len(scope.fields)
-        win_fields = [Field(s.out_name, s.out_dtype, s.out_nullable)
-                      for s in specs]
-        schema = tuple(scope.fields) + tuple(win_fields)
-        plan = Window(plan, partition, order_keys, tuple(specs), schema)
-        new_scope = Scope(list(schema))
+        placed: list[tuple] = []   # (call, column index, Field)
+        for gi, calls in enumerate(groups):
+            first = calls[0]
+            partition = tuple(self.bind_expr(e, scope)
+                              for e in first.partition_by)
+            order_keys = tuple(self._bind_order_item(o, scope, None)
+                               for o in first.order_by)
+            specs = [self._bind_window_func(w, scope, f"__win_{gi}_{j}",
+                                            bool(order_keys))
+                     for j, w in enumerate(calls)]
+            base = len(scope.fields)
+            win_fields = [Field(s.out_name, s.out_dtype, s.out_nullable)
+                          for s in specs]
+            schema = tuple(scope.fields) + tuple(win_fields)
+            plan = Window(plan, partition, order_keys, tuple(specs), schema)
+            scope = Scope(list(schema))
+            for j, w in enumerate(calls):
+                placed.append((w, base + j, win_fields[j]))
 
         def rewrite(e):
             if isinstance(e, ast.WindowCall):
-                j = win_calls.index(e)
-                f = win_fields[j]
-                return _PreBound(BColumn(f.dtype, f.nullable, base + j,
-                                         f.name))
+                for w, idx, f in placed:
+                    if w == e:
+                        return _PreBound(BColumn(f.dtype, f.nullable, idx,
+                                                 f.name))
             return _rebuild_ast(e, [rewrite(c) for c in _ast_children(e)])
 
         new_items = [(rewrite(e), name) for e, name in items]
-        return plan, new_scope, new_items
+        return plan, scope, new_items
+
+    _NO_FRAME_FUNCS = ("row_number", "rank", "dense_rank", "percent_rank",
+                       "cume_dist", "ntile", "lag", "lead")
+
+    def _bind_window_func(self, w: ast.WindowCall, scope, out_name: str,
+                          has_order: bool) -> WindowFuncSpec:
+        name = w.func
+        frame = w.frame
+        if frame is not None:
+            if name in self._NO_FRAME_FUNCS:
+                raise BindError(f"{name}() does not accept a frame clause")
+            unit, start, end = frame
+            if unit == "range" and ("p" in (start[0], end[0])
+                                    or "f" in (start[0], end[0])):
+                raise NotSupportedError(
+                    "RANGE frames with numeric offsets are not supported "
+                    "yet (use ROWS)")
+            if start[0] == "uf":
+                raise BindError(
+                    "frame start cannot be UNBOUNDED FOLLOWING")
+            if end[0] == "up":
+                raise BindError("frame end cannot be UNBOUNDED PRECEDING")
+
+        def int_literal(lit, what, minimum):
+            if not (isinstance(lit, ast.Literal)
+                    and isinstance(lit.value, int)):
+                raise BindError(f"{name}() {what} must be an integer literal")
+            if lit.value < minimum:
+                raise BindError(f"{name}() {what} must be >= {minimum}")
+            return lit.value
+
+        if name in ("row_number", "rank", "dense_rank", "percent_rank",
+                    "cume_dist"):
+            if w.args:
+                raise BindError(f"{name}() takes no arguments")
+            if name != "row_number" and not has_order:
+                raise BindError(f"{name}() requires ORDER BY")
+            dt = (SqlType.FLOAT64 if name in ("percent_rank", "cume_dist")
+                  else SqlType.INT64)
+            return WindowFuncSpec(name, None, 0, out_name, dt, False)
+        if name == "ntile":
+            if len(w.args) != 1:
+                raise BindError("ntile(n)")
+            n = int_literal(w.args[0], "bucket count", 1)
+            return WindowFuncSpec(name, None, n, out_name, SqlType.INT64,
+                                  False)
+        if name in ("lag", "lead"):
+            if not (1 <= len(w.args) <= 2):
+                raise BindError(f"{name}(expr [, offset])")
+            if not has_order:
+                raise BindError(f"{name}() requires ORDER BY")
+            arg = self.bind_expr(w.args[0], scope)
+            off = 1 if len(w.args) == 1 else int_literal(w.args[1],
+                                                         "offset", 0)
+            return WindowFuncSpec(name, arg, off, out_name, arg.dtype, True)
+        if name in ("first_value", "last_value"):
+            if len(w.args) != 1:
+                raise BindError(f"{name}(expr)")
+            arg = self.bind_expr(w.args[0], scope)
+            return WindowFuncSpec(name, arg, 0, out_name, arg.dtype, True,
+                                  frame)
+        if name == "nth_value":
+            if len(w.args) != 2:
+                raise BindError("nth_value(expr, n)")
+            arg = self.bind_expr(w.args[0], scope)
+            n = int_literal(w.args[1], "n", 1)
+            return WindowFuncSpec(name, arg, n, out_name, arg.dtype, True,
+                                  frame)
+        if name in ("sum", "count", "avg", "min", "max"):
+            if name == "count" and len(w.args) == 1 \
+                    and isinstance(w.args[0], ast.Star):
+                return WindowFuncSpec("count_star", None, 0, out_name,
+                                      SqlType.INT64, False, frame)
+            if len(w.args) != 1:
+                raise BindError(f"window {name}() takes one argument")
+            arg = self.bind_expr(w.args[0], scope)
+            if name == "count":
+                dt, nl = SqlType.INT64, False
+            elif name == "sum":
+                dt = (SqlType.INT64 if arg.dtype.is_integer
+                      else SqlType.FLOAT64)
+                nl = True
+            elif name == "avg":
+                dt, nl = SqlType.FLOAT64, True
+            else:
+                dt, nl = arg.dtype, True
+            return WindowFuncSpec(name, arg, 0, out_name, dt, nl, frame)
+        raise NotSupportedError(f"window function {name}()")
 
     def _bind_agg_call(self, fc: ast.FunctionCall, scope: Scope, out_name: str) -> AggSpec:
         name = fc.name
@@ -1245,7 +1291,7 @@ def _rebuild_ast(e: ast.Expr, children: list) -> ast.Expr:
         order = tuple(
             ast.OrderItem(next(it), o.ascending, o.nulls_first)
             for o in e.order_by)
-        return ast.WindowCall(e.func, args, part, order)
+        return ast.WindowCall(e.func, args, part, order, e.frame)
     if isinstance(e, ast.Cast):
         return ast.Cast(next(it), e.type_name, e.safe)
     if isinstance(e, ast.Case):

@@ -335,19 +335,24 @@ class Union(LogicalPlan):
         return f"Union({'ALL' if self.all else 'DISTINCT'}, {len(self.inputs)} inputs)"
 
 
-WINDOW_FUNCS = ("row_number", "rank", "dense_rank", "lag", "lead",
-                "first_value", "last_value", "sum", "count", "avg",
-                "min", "max")
+WINDOW_FUNCS = ("row_number", "rank", "dense_rank", "percent_rank",
+                "cume_dist", "ntile", "lag", "lead",
+                "first_value", "last_value", "nth_value",
+                "sum", "count", "avg", "min", "max")
 
 
 @dataclasses.dataclass(frozen=True)
 class WindowFuncSpec:
     func: str
     arg: Optional[BExpr]          # None for row_number/rank/dense_rank
-    offset: int                   # lag/lead distance
+    offset: int                   # lag/lead distance, ntile buckets, nth n
     out_name: str
     out_dtype: SqlType
     out_nullable: bool
+    # normalized frame: None = SQL default (RANGE UNBOUNDED PRECEDING →
+    # CURRENT ROW with ORDER BY, whole partition without); else
+    # ("rows"|"range", (kind, n), (kind, n)) — see sql/ast.py WindowCall
+    frame: Optional[tuple] = None
 
 
 @dataclasses.dataclass

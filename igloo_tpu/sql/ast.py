@@ -138,6 +138,12 @@ class WindowCall(Expr):
     args: tuple
     partition_by: tuple = ()
     order_by: tuple = ()        # (OrderItem, ...)
+    # frame: None = SQL default, else (unit, start, end) with
+    # unit in {"rows","range"} and each bound a (kind, n) pair,
+    # kind in {"up","p","c","f","uf"} (unbounded-preceding, n-preceding,
+    # current-row, n-following, unbounded-following), n an int (0 unless
+    # kind is "p"/"f").
+    frame: tuple | None = None
 
     def __repr__(self):
         return f"{self.func}(...) OVER(...)"

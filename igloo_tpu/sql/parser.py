@@ -336,6 +336,59 @@ class Parser:
                 break
         return out
 
+    # frame words are contextual, NOT reserved keywords — `rows`, `range`,
+    # `row` etc. stay usable as column names everywhere else
+    def _is_word(self, *words: str) -> bool:
+        t = self.peek()
+        return (t.kind in (Tok.IDENT, Tok.KEYWORD)
+                and t.value.lower() in words)
+
+    def _accept_word(self, *words: str) -> bool:
+        if self._is_word(*words):
+            self.next()
+            return True
+        return False
+
+    def _expect_word(self, word: str) -> None:
+        if not self._accept_word(word):
+            self.err(f"expected {word.upper()}")
+
+    def parse_frame(self) -> tuple:
+        """ROWS|RANGE [BETWEEN <bound> AND <bound> | <bound>]; a lone
+        bound means <bound> .. CURRENT ROW (SQL shorthand)."""
+        unit = "rows" if self._accept_word("rows") else None
+        if unit is None:
+            self._expect_word("range")
+            unit = "range"
+
+        def bound():
+            if self._accept_word("unbounded"):
+                if self._accept_word("preceding"):
+                    return ("up", 0)
+                self._expect_word("following")
+                return ("uf", 0)
+            if self._accept_word("current"):
+                self._expect_word("row")
+                return ("c", 0)
+            t = self.expect(Tok.NUMBER)
+            try:
+                n = int(t.value)
+            except ValueError:
+                self.err("frame offset must be an integer")
+            if self._accept_word("preceding"):
+                return ("p", n)
+            self._expect_word("following")
+            return ("f", n)
+
+        if self.accept_kw("between"):
+            start = bound()
+            self.expect_kw("and")
+            end = bound()
+        else:
+            start = bound()
+            end = ("c", 0)
+        return (unit, start, end)
+
     # ---- expressions (precedence climbing) ----
     def parse_expr(self) -> ast.Expr:
         return self.parse_or()
@@ -544,10 +597,13 @@ class Parser:
                         self.next()
                         self.expect_kw("by")
                         order_by = self.parse_order_items()
+                    frame = None
+                    if self._is_word("rows", "range"):
+                        frame = self.parse_frame()
                     self.expect(Tok.RPAREN)
                     return ast.WindowCall(fc.name, fc.args,
                                           tuple(partition_by),
-                                          tuple(order_by))
+                                          tuple(order_by), frame)
                 return fc
             # qualified column
             if self.peek().kind is Tok.DOT:
