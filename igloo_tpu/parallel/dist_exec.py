@@ -503,11 +503,54 @@ class DistFragment:
     _MERGE = {"count_star": "sum", "count": "sum", "sum": "sum", "min": "min",
               "max": "max", "any_value": "any_value"}
 
+    @staticmethod
+    def _group_bound(t: STable, group_exprs) -> int:
+        """Static upper bound on group count (mirrors exec/runtime.py
+        _group_bound): dictionary sizes / integer ingest stats, else the
+        row capacity. Bounding matters doubly here — grouped_aggregate's
+        group-extent searchsorted costs O(G log n) serialized gather
+        passes, and the aggregate's output capacity feeds every op above
+        it in the fused program."""
+        from ..dtypes import SqlType as _S
+        bound = 1
+        for g in group_exprs:
+            col_bound = None
+            if isinstance(g, L.BColumn) and g.index < len(t.cols):
+                c = t.cols[g.index]
+                if c.dictionary is not None:
+                    col_bound = len(c.dictionary) + 1
+                elif c.stats is not None:
+                    lo, hi = c.stats
+                    span = hi - lo + 1
+                    if 0 < span <= (1 << 22):
+                        col_bound = span + 1
+            elif getattr(g, "dtype", None) is _S.BOOL:
+                col_bound = 3
+            if col_bound is None:
+                return t.cap
+            bound *= col_bound
+            if bound >= t.cap:
+                return t.cap
+        return min(pad_count(bound), t.cap)
+
     def _exec_aggregate(self, node: L.Aggregate, env) -> STable:
         t = self._exec(node.input, env)
         prep_key = id(node)
         gvv = [self._eval(g, t, prep_key) for g in node.group_exprs]
         has_distinct = any(a.distinct for a in node.aggs)
+
+        if not node.group_exprs and not has_distinct:
+            # ungrouped: plain masked reductions to per-shard scalars,
+            # merged across shards with psum/pmin/pmax — NO sort, NO
+            # segmented scan, NO shuffle (the generic path pays a full
+            # lax.sort + O(log n) scan passes for one output row)
+            return self._exec_aggregate_ungrouped(node, t, prep_key)
+
+        gbound = self._group_bound(t, node.group_exprs)
+        if not node.group_exprs:
+            # only reachable with DISTINCT aggs: constant-key grouping
+            gvv = [VV(jnp.zeros((t.cap,), jnp.int32), None)]
+            gbound = pad_count(1)
 
         if self.P == 1:
             if node.group_exprs and not has_distinct:
@@ -516,8 +559,6 @@ class DistFragment:
                 if mxu is not None:
                     return self._exec_aggregate_mxu(node, t, prep_key, mxu)
             # single shard: one local aggregate, no shuffle
-            if not node.group_exprs:
-                gvv = [VV(jnp.zeros((t.cap,), jnp.int32), None)]
             inputs = []
             for a in node.aggs:
                 if a.arg is None:
@@ -526,13 +567,10 @@ class DistFragment:
                     v = self._eval(a.arg, t, prep_key)
                     inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct))
             out_keys, out_aggs, ngroups = grouped_aggregate(
-                [(v.arr, v.valid) for v in gvv], inputs, t.alive)
+                [(v.arr, v.valid) for v in gvv], inputs, t.alive,
+                max_groups=gbound)
             return self._assemble_agg(node, out_keys, out_aggs, ngroups,
-                                      t.cap)
-
-        if not node.group_exprs:
-            # ungrouped: constant key, same machinery, drop key at the end
-            gvv = [VV(jnp.zeros((t.cap,), jnp.int32), None)]
+                                      gbound)
 
         if has_distinct:
             # shuffle raw rows by group key, then one full local aggregate
@@ -557,9 +595,10 @@ class DistFragment:
                          a.distinct)
                 for i, a in enumerate(node.aggs)
             ]
+            new_cap = min(gbound, self.P * dest_cap)
             out_keys, out_aggs, ngroups = grouped_aggregate(
-                [(k[0], k[1]) for k in s_keys], inputs, alive)
-            new_cap = self.P * dest_cap
+                [(k[0], k[1]) for k in s_keys], inputs, alive,
+                max_groups=new_cap)
             return self._assemble_agg(node, out_keys, out_aggs, ngroups,
                                       new_cap)
 
@@ -591,14 +630,15 @@ class DistFragment:
                     f"distributed aggregate {a.func}()")
 
         keys = [(v.arr, v.valid) for v in gvv]
-        p_keys, p_aggs, p_n = grouped_aggregate(keys, inputs, t.alive)
-        p_alive = jnp.arange(t.cap) < p_n
+        p_keys, p_aggs, p_n = grouped_aggregate(keys, inputs, t.alive,
+                                                max_groups=gbound)
+        p_alive = jnp.arange(gbound) < p_n
 
-        # shuffle partial groups by key hash
+        # shuffle partial groups by key hash (at most gbound rows/shard)
         pairs = [(a, v) for a, v in p_keys] + [(a, v) for a, v in p_aggs]
         key64, _ = join_ops.normalize_keys([a for a, _ in p_keys])
         dest = dest_from_key(key64, self.P)
-        dest_cap = self._dest_cap(t.cap)
+        dest_cap = self._dest_cap(gbound)
         new_pairs, alive, ovf = shuffle_rows(pairs, p_alive, dest, self.P,
                                              dest_cap)
         self._overflow_flags.append(ovf)
@@ -619,8 +659,10 @@ class DistFragment:
             else:
                 merge_inputs.append(AggInput(self._MERGE[func], arr, valid,
                                              False))
+        new_cap = min(gbound, self.P * dest_cap)
         out_keys, merged, ngroups = grouped_aggregate(
-            [(k[0], k[1]) for k in s_keys], merge_inputs, alive)
+            [(k[0], k[1]) for k in s_keys], merge_inputs, alive,
+            max_groups=new_cap)
 
         # recombine composite aggregates
         out_aggs = []
@@ -652,8 +694,102 @@ class DistFragment:
                 arr, valid = merged[mi]
                 mi += 1
                 out_aggs.append((arr, valid))
-        new_cap = self.P * dest_cap
         return self._assemble_agg(node, out_keys, out_aggs, ngroups, new_cap)
+
+    def _exec_aggregate_ungrouped(self, node, t: STable, prep_key) -> STable:
+        """Whole-table aggregates → exactly one output row (on shard 0)."""
+        alive = t.alive
+        P = self.P
+
+        def gsum(x):
+            return jax.lax.psum(x, "d") if P > 1 else x
+
+        def gmin(x):
+            return jax.lax.pmin(x, "d") if P > 1 else x
+
+        def gmax(x):
+            return jax.lax.pmax(x, "d") if P > 1 else x
+
+        out_scalars = []   # (value, valid_scalar_or_None)
+        for a in node.aggs:
+            if a.func == "count_star":
+                out_scalars.append(
+                    (gsum(jnp.sum(alive.astype(jnp.int64))), None))
+                continue
+            vv = self._eval(a.arg, t, prep_key)
+            arr = (vv.arr.astype(jnp.int32) if vv.arr.dtype == jnp.bool_
+                   else vv.arr)
+            w = alive if vv.valid is None else (alive & vv.valid)
+            cnt = gsum(jnp.sum(w.astype(jnp.int64)))
+            is_float = jnp.issubdtype(arr.dtype, jnp.floating)
+            if a.func == "count":
+                out_scalars.append((cnt, None))
+            elif a.func in ("sum", "avg"):
+                acc_t = (jnp.float64 if (is_float or a.func == "avg")
+                         else jnp.int64)
+                s = gsum(jnp.sum(jnp.where(w, arr, 0).astype(acc_t)))
+                if a.func == "sum":
+                    out_scalars.append((s, cnt > 0))
+                else:
+                    out_scalars.append(
+                        (s / jnp.maximum(cnt, 1).astype(jnp.float64),
+                         cnt > 0))
+            elif a.func in ("min", "max"):
+                if is_float:
+                    sent = jnp.asarray(
+                        jnp.inf if a.func == "min" else -jnp.inf, arr.dtype)
+                else:
+                    info = jnp.iinfo(arr.dtype)
+                    sent = jnp.asarray(
+                        info.max if a.func == "min" else info.min, arr.dtype)
+                m = jnp.where(w, arr, sent)
+                local = jnp.min(m) if a.func == "min" else jnp.max(m)
+                out_scalars.append(
+                    ((gmin if a.func == "min" else gmax)(local), cnt > 0))
+            elif a.func in ("var", "stddev"):
+                x = jnp.where(w, arr, 0).astype(jnp.float64)
+                s = gsum(jnp.sum(x))
+                s2 = gsum(jnp.sum(x * x))
+                c = cnt.astype(jnp.float64)
+                var = jnp.maximum(
+                    (s2 - s * s / jnp.maximum(c, 1.0))
+                    / jnp.maximum(c - 1.0, 1.0), 0.0)
+                out_scalars.append(
+                    (jnp.sqrt(var) if a.func == "stddev" else var, cnt > 1))
+            elif a.func == "any_value":
+                # value from the lowest-indexed shard owning a valid row
+                first = jnp.argmax(w)
+                has = jnp.any(w)
+                local = jnp.where(has, arr[first], jnp.zeros((), arr.dtype))
+                if P > 1:
+                    me = jax.lax.axis_index("d")
+                    owner = gmin(jnp.where(has, me, P))
+                    contrib = jnp.where((me == owner) & has, local,
+                                        jnp.zeros((), arr.dtype))
+                    out_scalars.append((gsum(contrib), owner < P))
+                else:
+                    out_scalars.append((local, has))
+            else:
+                raise NotSupportedError(f"distributed aggregate {a.func}()")
+
+        cap = pad_count(1)
+        iota = jnp.arange(cap)
+        row0 = iota == 0
+        cols = []
+        for (val, valid), spec, f in zip(out_scalars, node.aggs, node.schema):
+            arr = jnp.where(row0, val,
+                            jnp.zeros((), val.dtype)).astype(
+                                spec.out_dtype.to_jax())
+            vmask = None if valid is None else (row0 & valid)
+            cols.append(SCol(arr, vmask, spec.out_dtype, None))
+        names = [s.out_name for s in node.aggs]
+        # the single global row lives on shard 0; other shards are empty
+        if P > 1:
+            mine = jax.lax.axis_index("d") == 0
+            out_alive = row0 & mine
+        else:
+            out_alive = row0
+        return STable(cols, names, out_alive, cap)
 
     def _exec_aggregate_mxu(self, node, t: STable, prep_key, mxu) -> STable:
         """Dense-small-key GROUP BY on the MXU (P==1 fast path)."""
@@ -734,13 +870,17 @@ class DistFragment:
 
     def _exec_distinct(self, node: L.Distinct, env) -> STable:
         t = self._exec(node.input, env)
+        gexprs = [L.BColumn(c.dtype, c.valid is not None, i, n)
+                  for i, (c, n) in enumerate(zip(t.cols, t.names))]
+        gbound = self._group_bound(t, gexprs)
         if self.P == 1:
             out_keys, _, ngroups = grouped_aggregate(
-                [(c.arr, c.valid) for c in t.cols], [], t.alive)
+                [(c.arr, c.valid) for c in t.cols], [], t.alive,
+                max_groups=gbound)
             cols = [SCol(arr.astype(c.dtype.to_jax()), valid, c.dtype,
                          c.dictionary)
                     for (arr, valid), c in zip(out_keys, t.cols)]
-            return STable(cols, t.names, jnp.arange(t.cap) < ngroups, t.cap)
+            return STable(cols, t.names, jnp.arange(gbound) < ngroups, gbound)
         pairs = [(c.arr, c.valid) for c in t.cols]
         key64, _ = join_ops.normalize_keys([c.arr for c in t.cols])
         dest = dest_from_key(key64, self.P)
@@ -748,9 +888,9 @@ class DistFragment:
         new_pairs, alive, ovf = shuffle_rows(pairs, t.alive, dest, self.P,
                                              dest_cap)
         self._overflow_flags.append(ovf)
+        cap = min(gbound, self.P * dest_cap)
         out_keys, _, ngroups = grouped_aggregate(
-            [(a, v) for a, v in new_pairs], [], alive)
-        cap = self.P * dest_cap
+            [(a, v) for a, v in new_pairs], [], alive, max_groups=cap)
         cols = [SCol(arr.astype(c.dtype.to_jax()), valid, c.dtype,
                      c.dictionary)
                 for (arr, valid), c in zip(out_keys, t.cols)]
