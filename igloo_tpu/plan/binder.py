@@ -324,22 +324,104 @@ class Binder:
         for i, fc in enumerate(agg_calls):
             specs.append(self._bind_agg_call(fc, scope, f"__agg_{i}"))
 
+        sets = sel.group_sets
+        grouping_calls: list[ast.FunctionCall] = []
+        grouping_idx: list[int] = []
+        if sets is not None:
+            # GROUPING(expr) markers referenced anywhere in the output
+            def collect_grouping(e):
+                if isinstance(e, ast.FunctionCall) and e.name == "grouping":
+                    if e not in grouping_calls:
+                        grouping_calls.append(e)
+                    return
+                for c in _ast_children(e):
+                    collect_grouping(c)
+
+            for e, _ in items:
+                collect_grouping(e)
+            if sel.having is not None:
+                collect_grouping(sel.having)
+            for o in sel.order_by:
+                collect_grouping(o.expr)
+            for fc in grouping_calls:
+                if len(fc.args) != 1:
+                    raise BindError("grouping(expr) takes one argument")
+                for i, g_ast in enumerate(group_asts):
+                    if fc.args[0] == g_ast:
+                        grouping_idx.append(i)
+                        break
+                else:
+                    raise BindError(
+                        "grouping() argument must be a GROUP BY expression")
+
+        ng = len(group_bound)
         group_fields = [
-            Field(_auto_name(g_ast), g.dtype, g.nullable)
-            for g_ast, g in zip(group_asts, group_bound)
+            Field(_auto_name(g_ast), g.dtype,
+                  g.nullable or (sets is not None
+                                 and any(i not in s for s in sets)))
+            for i, (g_ast, g) in enumerate(zip(group_asts, group_bound))
         ]
         agg_fields = [
             Field(s.out_name, s.out_dtype, s.out_nullable) for s in specs
         ]
-        agg_schema = tuple(group_fields + agg_fields)
-        plan = Aggregate(plan, tuple(group_bound), tuple(specs), agg_schema)
+        grouping_fields = [Field(f"__grouping_{k}", SqlType.INT64, False)
+                           for k in range(len(grouping_calls))]
+        agg_schema = tuple(group_fields + agg_fields + grouping_fields)
+
+        if sets is None:
+            plan = Aggregate(plan, tuple(group_bound), tuple(specs),
+                             agg_schema)
+        else:
+            # ROLLUP/CUBE/GROUPING SETS desugar: one Aggregate per set,
+            # each projected onto the unified layout (omitted group
+            # columns → typed NULLs, GROUPING() markers → 0/1 literals),
+            # UNION ALL of the branches. (DataFusion — the reference's
+            # SQL engine substrate — executes grouping sets similarly.)
+            import copy as _copy
+            branches = []
+            for s in sets:
+                sub_groups = tuple(group_bound[i] for i in s)
+                sub_gf = [group_fields[i] for i in s]
+                sub_schema = tuple(sub_gf) + tuple(agg_fields)
+                # each branch owns a copy of the input subtree — the
+                # optimizer prunes/mutates plans in place, so Union
+                # branches must not alias nodes
+                agg_node = Aggregate(_copy.deepcopy(plan), sub_groups,
+                                     tuple(specs), sub_schema)
+                proj_exprs: list[BExpr] = []
+                for i in range(ng):
+                    if i in s:
+                        pos = s.index(i)
+                        f = sub_schema[pos]
+                        proj_exprs.append(
+                            BColumn(f.dtype, group_fields[i].nullable, pos,
+                                    f.name))
+                    else:
+                        proj_exprs.append(
+                            BLiteral(group_fields[i].dtype, True, None))
+                for j in range(len(specs)):
+                    f = sub_schema[len(s) + j]
+                    proj_exprs.append(
+                        BColumn(f.dtype, f.nullable, len(s) + j, f.name))
+                for gi in grouping_idx:
+                    proj_exprs.append(
+                        BLiteral(SqlType.INT64, False,
+                                 0 if gi in s else 1))
+                branches.append(
+                    Projection(agg_node, tuple(proj_exprs), agg_schema))
+            plan = Union(tuple(branches), agg_schema, all=True)
 
         # Rebind select/having/order expressions over the aggregate output:
         # occurrences of a group expr AST → BColumn(i); agg call → BColumn(g+j).
-        ng = len(group_bound)
         agg_scope = _AggScope(list(agg_schema))
 
         def rewrite(e: ast.Expr) -> ast.Expr:
+            if (sets is not None and isinstance(e, ast.FunctionCall)
+                    and e.name == "grouping" and e in grouping_calls):
+                k = grouping_calls.index(e)
+                f = agg_schema[ng + len(specs) + k]
+                return _PreBound(BColumn(f.dtype, f.nullable,
+                                         ng + len(specs) + k, f.name))
             for i, g_ast in enumerate(group_asts):
                 if e == g_ast:
                     f = agg_schema[i]

@@ -239,6 +239,9 @@ class Select:
     offset: Optional[int] = None
     distinct: bool = False
     ctes: tuple = ()                # ((name, Select), ...)
+    # ROLLUP/CUBE/GROUPING SETS: index tuples into group_by, one per
+    # grouping set; None = plain GROUP BY
+    group_sets: Optional[tuple] = None
 
 
 class SetOpKind(enum.Enum):

@@ -146,6 +146,7 @@ class Parser:
                     limit=limit if limit is not None else node.limit,
                     offset=offset if offset is not None else node.offset,
                     distinct=node.distinct, ctes=ctes or node.ctes,
+                    group_sets=node.group_sets,
                 )
         else:
             node = ast.SetOp(node.kind, node.left, node.right,
@@ -200,18 +201,84 @@ class Parser:
         where = self.parse_expr() if self.accept_kw("where") else None
 
         group_by = ()
+        group_sets = None
         if self.peek().is_kw("group"):
             self.next()
             self.expect_kw("by")
-            exprs = [self.parse_expr()]
+            elem_sets = [self._parse_group_element()]
             while self.accept(Tok.COMMA):
-                exprs.append(self.parse_expr())
-            group_by = tuple(exprs)
+                elem_sets.append(self._parse_group_element())
+            if all(len(es) == 1 for es in elem_sets):
+                # plain GROUP BY: each element contributed one set
+                group_by = tuple(e for es in elem_sets for e in es[0])
+            else:
+                # ROLLUP/CUBE/GROUPING SETS: cross-product of element sets
+                combined = [()]
+                for es in elem_sets:
+                    combined = [c + s for c in combined for s in es]
+                uniq: list = []
+                for s in combined:
+                    for e in s:
+                        if e not in uniq:
+                            uniq.append(e)
+                group_by = tuple(uniq)
+                group_sets = tuple(
+                    tuple(dict.fromkeys(uniq.index(e) for e in s))
+                    for s in combined)
 
         having = self.parse_expr() if self.accept_kw("having") else None
 
         return ast.Select(items=tuple(items), from_=from_, where=where,
-                          group_by=group_by, having=having, distinct=distinct)
+                          group_by=group_by, having=having, distinct=distinct,
+                          group_sets=group_sets)
+
+    def _parse_group_element(self) -> list[tuple]:
+        """One comma-separated GROUP BY element → the list of grouping
+        sets it contributes (a plain expression contributes one
+        single-expression set). ROLLUP/CUBE/GROUPING SETS words are
+        contextual — still valid column names elsewhere."""
+        def expr_list():
+            es = [self.parse_expr()]
+            while self.accept(Tok.COMMA):
+                es.append(self.parse_expr())
+            self.expect(Tok.RPAREN)
+            return es
+
+        if self._is_word("rollup") and self.peek(1).kind is Tok.LPAREN:
+            self.next()
+            self.next()
+            es = expr_list()
+            return [tuple(es[:k]) for k in range(len(es), -1, -1)]
+        if self._is_word("cube") and self.peek(1).kind is Tok.LPAREN:
+            self.next()
+            self.next()
+            es = expr_list()
+            if len(es) > 8:
+                self.err("CUBE supports at most 8 expressions")
+            return [tuple(e for i, e in enumerate(es) if (mask >> i) & 1)
+                    for mask in range((1 << len(es)) - 1, -1, -1)]
+        if (self._is_word("grouping")
+                and self.peek(1).kind in (Tok.IDENT, Tok.KEYWORD)
+                and self.peek(1).value.lower() == "sets"
+                and self.peek(2).kind is Tok.LPAREN):
+            self.next()
+            self.next()
+            self.next()
+            sets = []
+            while True:
+                if self.accept(Tok.LPAREN):
+                    if self.peek().kind is Tok.RPAREN:
+                        self.next()
+                        sets.append(())
+                    else:
+                        sets.append(tuple(expr_list()))
+                else:
+                    sets.append((self.parse_expr(),))
+                if not self.accept(Tok.COMMA):
+                    break
+            self.expect(Tok.RPAREN)
+            return sets
+        return [(self.parse_expr(),)]
 
     def parse_select_item(self):
         t = self.peek()
