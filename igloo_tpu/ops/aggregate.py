@@ -147,10 +147,27 @@ def grouped_aggregate(keys: list[tuple[jax.Array, Optional[jax.Array]]],
     seg = jnp.where(s_alive, jnp.clip(seg, 0, G - 1), G)  # dead → past last
     ngroups = jnp.sum(boundary.astype(jnp.int32))
 
-    # ---- 3. group extents via vectorized binary search ----
+    # ---- 3. group extents ----
     gids = jnp.arange(G, dtype=jnp.int32)
-    starts = jnp.searchsorted(seg, gids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(seg, gids, side="right").astype(jnp.int32)
+    if G <= (1 << 18):
+        # vectorized binary search: O(G log n) serialized gather passes —
+        # cheap while G is small (stats-bounded group counts)
+        starts = jnp.searchsorted(seg, gids, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(seg, gids, side="right").astype(jnp.int32)
+    else:
+        # unbounded G: G binary searches cost ~3.6 s at 16M on TPU; one
+        # extra sort (~75 ms) compacts the boundary positions instead —
+        # group g's start is the g-th boundary row
+        bkey = jnp.where(boundary, seg, G).astype(jnp.int32)
+        bpos = jax.lax.sort([bkey, iota], num_keys=1)[1][:G]
+        total_alive = jnp.sum(s_alive.astype(jnp.int32))
+        valid_g = gids < ngroups
+        nxt = jnp.concatenate(
+            [bpos[1:], jnp.full((1,), 0, bpos.dtype)])
+        starts = jnp.where(valid_g, bpos, total_alive).astype(jnp.int32)
+        ends = jnp.where(gids + 1 < ngroups, nxt,
+                         total_alive).astype(jnp.int32)
+        ends = jnp.where(valid_g, ends, total_alive).astype(jnp.int32)
     starts_c = jnp.clip(starts, 0, n - 1)
     last = jnp.clip(ends - 1, 0, n - 1)
 

@@ -128,17 +128,24 @@ def window_program(part, order, args, inputs, specs, alive, cap):
     seg = jnp.where(s_alive, jnp.clip(seg, 0, cap - 1), cap)
     pstart = jax.lax.cummax(jnp.where(pboundary, iota, -1))
     pstart_c = jnp.clip(pstart, 0, cap - 1)
-    pend = (jnp.searchsorted(seg, seg, side="right") - 1).astype(jnp.int32)
-    pend = jnp.clip(pend, 0, cap - 1)
+
+    # last row of the current run = (first boundary strictly after me) - 1.
+    # A reverse cummin is ~100x cheaper than per-row searchsorted over the
+    # segment ids (binary search = log n serialized gather passes).
+    dead_start = ~s_alive & (first | prev_alive)
+
+    def run_end(bound):
+        nxt = jax.lax.cummin(
+            jnp.where(bound | dead_start, iota, cap), reverse=True)
+        after = jnp.concatenate(
+            [nxt[1:], jnp.full((1,), cap, nxt.dtype)])
+        return jnp.clip(after - 1, 0, cap - 1).astype(jnp.int32)
+
+    pend = run_end(pboundary)
 
     if order:
         oboundary = pboundary | (s_alive & differs(o_slots))
-        pg = jnp.where(s_alive,
-                       jnp.cumsum(oboundary.astype(jnp.int32)) - 1,
-                       cap + iota)
-        peer_end = (jnp.searchsorted(pg, pg, side="right") - 1
-                    ).astype(jnp.int32)
-        peer_end = jnp.clip(peer_end, 0, cap - 1)
+        peer_end = run_end(oboundary)
     else:
         oboundary = pboundary
         peer_end = pend

@@ -1095,18 +1095,17 @@ class DistFragment:
             if unique_mode:
                 surviving = counts
             else:
-                # surviving matches per probe row (expansion rows are
-                # grouped by ascending probe_row): cumsum + differencing
-                pidx = jnp.arange(lt.cap, dtype=jnp.int32)
-                ps = jnp.searchsorted(probe_row, pidx,
-                                      side="left").astype(jnp.int32)
-                pe = jnp.searchsorted(probe_row, pidx,
-                                      side="right").astype(jnp.int32)
+                # surviving matches per probe row: probe i's expansion
+                # slots are [off[i-1], off[i]) (off = cumsum of counts),
+                # so two cumsum gathers replace per-row binary searches
+                off = jnp.cumsum(counts.astype(jnp.int64))
                 csum = jnp.cumsum(slot_valid.astype(jnp.int32))
-                hi = csum[jnp.clip(pe - 1, 0, inner_cap - 1)]
-                lo_ = jnp.where(ps > 0,
-                                csum[jnp.clip(ps - 1, 0, inner_cap - 1)], 0)
-                surviving = jnp.where(pe > ps, hi - lo_, 0)
+                hi = csum[jnp.clip(off - 1, 0, inner_cap - 1)]
+                prev = off - counts
+                lo_ = jnp.where(prev > 0,
+                                csum[jnp.clip(prev - 1, 0, inner_cap - 1)],
+                                0)
+                surviving = jnp.where(counts > 0, hi - lo_, 0)
             seg_masks.append(lt.alive & (surviving == 0))
             segments.append((
                 [(c.arr, c.valid) for c in lt.cols],

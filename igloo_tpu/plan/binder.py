@@ -1062,6 +1062,13 @@ class Binder:
         elif j.kind is not ast.JoinKind.CROSS:
             raise BindError("JOIN requires ON or USING")
 
+        if j.condition is not None and not left_keys:
+            # no equi conjunct at all (e.g. ON a.x < b.y): constant keys
+            # make every pair key-match; the residual decides, and outer
+            # rows resurface via the usual match semantics
+            left_keys = [BLiteral(SqlType.INT32, False, 0)]
+            right_keys = [BLiteral(SqlType.INT32, False, 0)]
+
         # unify key types: both sides must share a physical representation
         # (normalize_keys compares bit patterns)
         uni_l, uni_r = [], []
@@ -1091,18 +1098,23 @@ class Binder:
         return plan, Scope(out_fields)
 
     def _try_equi_key(self, c: ast.Expr, lscope: Scope, rscope: Scope):
-        """If `c` is l.col = r.col (either orientation), return bound key pair."""
+        """If `c` is <left-side expr> = <right-side expr> (either
+        orientation), return the bound key pair. An expression qualifies
+        as one side's key when it binds entirely against that side's
+        scope — e.g. `u.age % 2 = v.age % 2` hash-partitions on the
+        expression values instead of falling back to a cross product."""
         if not (isinstance(c, ast.BinaryOp) and c.op is ast.BinOp.EQ):
             return None
+
         def try_side(e, scope):
-            if isinstance(e, ast.ColumnRef):
-                try:
-                    i = scope.resolve(e.name, e.table)
-                except BindError:
-                    return None
-                f = scope.fields[i]
-                return BColumn(f.dtype, f.nullable, i, f.name)
-            return None
+            if isinstance(e, (ast.ScalarSubquery, ast.Exists,
+                              ast.InSubquery, ast.WindowCall)):
+                return None
+            try:
+                return self.bind_expr(e, scope)
+            except (BindError, NotSupportedError):
+                return None
+
         ll = try_side(c.left, lscope)
         rr = try_side(c.right, rscope)
         if ll is not None and rr is not None:

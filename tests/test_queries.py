@@ -597,3 +597,39 @@ def test_string_concat_columns(engine):
         "a": ["x", "y", None], "b": ["1", "2", "3"]}))
     out = engine.execute("SELECT a || '-' || b AS j FROM cc ORDER BY j NULLS LAST")
     assert out.column("j").to_pylist() == ["x-1", "y-2", None]
+
+
+def test_join_on_expression_keys(engine):
+    import pyarrow as pa
+    engine.register_table("u8", pa.table({
+        "name": ["Alice", "Bob", "Charlie", "Diana", "Eve"],
+        "age": pa.array([25, 30, 35, 28, 32], type=pa.int32()),
+    }))
+    out = engine.execute(
+        "SELECT u.name, v.name AS friend FROM u8 AS u LEFT JOIN u8 AS v "
+        "ON u.age % 2 = v.age % 2 AND v.age > u.age ORDER BY u.name, friend")
+    assert list(zip(out.column("name").to_pylist(),
+                    out.column("friend").to_pylist())) == [
+        ("Alice", "Charlie"), ("Bob", "Eve"), ("Charlie", None),
+        ("Diana", "Bob"), ("Diana", "Eve"), ("Eve", None)]
+
+
+def test_join_no_equi_keys(engine):
+    import pyarrow as pa
+    engine.register_table("u9", pa.table({
+        "name": ["Alice", "Bob", "Charlie"],
+        "age": pa.array([25, 30, 35], type=pa.int32()),
+    }))
+    out = engine.execute(
+        "SELECT a.name, b.name AS older FROM u9 AS a JOIN u9 AS b "
+        "ON b.age > a.age ORDER BY a.name, older")
+    assert list(zip(out.column("name").to_pylist(),
+                    out.column("older").to_pylist())) == [
+        ("Alice", "Bob"), ("Alice", "Charlie"), ("Bob", "Charlie")]
+    out = engine.execute(
+        "SELECT a.name, b.name AS older FROM u9 AS a LEFT JOIN u9 AS b "
+        "ON b.age > a.age ORDER BY a.name, older")
+    assert list(zip(out.column("name").to_pylist(),
+                    out.column("older").to_pylist())) == [
+        ("Alice", "Bob"), ("Alice", "Charlie"), ("Bob", "Charlie"),
+        ("Charlie", None)]
