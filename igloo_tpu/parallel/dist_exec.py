@@ -51,8 +51,8 @@ from .shuffle import dest_from_key, shuffle_rows
 # ---------------------------------------------------------------------------
 
 _DISTRIBUTABLE = (L.Scan, L.Filter, L.Projection, L.Aggregate, L.Join,
-                  L.Distinct)
-_SINGLE_ONLY = (L.Sort, L.Limit, L.Window)  # local ops, fusable when P == 1
+                  L.Distinct, L.Sort, L.Limit)
+_SINGLE_ONLY = (L.Window,)  # local ops, fusable when P == 1
 
 
 def node_distributable(node: L.LogicalPlan, single: bool = False) -> bool:
@@ -443,9 +443,27 @@ class DistFragment:
         if isinstance(node, L.Limit):
             t = self._exec(node.input, env)
             from ..ops.masks import first_k_mask
-            return STable(t.cols, t.names,
-                          first_k_mask(t.alive, node.limit, node.offset),
-                          t.cap)
+            if self.P == 1:
+                return STable(t.cols, t.names,
+                              first_k_mask(t.alive, node.limit, node.offset),
+                              t.cap)
+            # distributed LIMIT/OFFSET over the shard-ordered row stream:
+            # each shard learns how many alive rows precede it (one small
+            # all_gather) and keeps its slice of [offset, offset+limit)
+            local_cnt = jnp.sum(t.alive.astype(jnp.int64))
+            cnts = jax.lax.all_gather(local_cnt, "d", tiled=False)
+            me = jax.lax.axis_index("d")
+            before = jnp.sum(
+                jnp.where(jnp.arange(self.P) < me, cnts, 0))
+            skip = jnp.clip(node.offset - before, 0, local_cnt)
+            if node.limit is None:
+                take_end = local_cnt
+            else:
+                take_end = jnp.clip(node.offset + node.limit - before,
+                                    0, local_cnt)
+            rank = jnp.cumsum(t.alive.astype(jnp.int64)) - 1
+            keep = t.alive & (rank >= skip) & (rank < take_end)
+            return STable(t.cols, t.names, keep, t.cap)
         raise NotSupportedError(f"dist exec: {type(node).__name__}")
 
     def _exec_window(self, node: L.Window, env) -> STable:
@@ -484,6 +502,15 @@ class DistFragment:
         key_vvs = [self._eval(k.expr, t, id(node)) for k in node.keys]
         key_specs = [(v.arr, v.valid, k.ascending, k.nulls_first)
                      for v, k in zip(key_vvs, node.keys)]
+
+        if self.P > 1:
+            # sample-based range-partition exchange: shard s receives the
+            # s-th global range of the leading sort key, then sorts
+            # locally — shard-order concatenation IS the global order.
+            # (The reference never builds its Shuffle fragment at all,
+            # fragment.rs:12; distributed ORDER BY is beyond it.)
+            t, key_specs = self._range_exchange(t, key_specs)
+
         payload = [c.arr for c in t.cols] + [c.valid for c in t.cols] \
             + [t.alive]
         sp = sort_with_payload(key_specs, t.alive, payload)
@@ -491,6 +518,50 @@ class DistFragment:
         cols = [SCol(a, v, c.dtype, c.dictionary)
                 for a, v, c in zip(sp[:nc], sp[nc:2 * nc], t.cols)]
         return STable(cols, t.names, sp[2 * nc], t.cap)
+
+    def _range_exchange(self, t: STable, key_specs):
+        """Repartition rows so shard s holds the s-th range of the
+        leading sort key. Only a monotone (non-strict) rank is needed to
+        pick destinations — equal ranks land on one shard and the local
+        multi-key sort finishes the job, so collapsing the key to a
+        uint64 rank is lossless for the global order."""
+        values, valid, ascending, nulls_first = key_specs[0]
+        rank = _orderable_rank(values, valid, ascending, nulls_first)
+        alive = t.alive
+        P = self.P
+        S = 64                                 # samples per shard
+        cap = t.cap
+        umax = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+        # evenly-spaced local sample of the live key distribution
+        sr = jax.lax.sort([jnp.where(alive, rank, umax)], num_keys=1)[0]
+        nloc = jnp.sum(alive.astype(jnp.int32))
+        pos = ((jnp.arange(S, dtype=jnp.int32) * 2 + 1)
+               * nloc) // (2 * S)
+        samp = sr[jnp.clip(pos, 0, cap - 1)]
+        samp = jnp.where(nloc > 0, samp, umax)
+
+        gs = jax.lax.all_gather(samp, "d", tiled=True)       # (P*S,)
+        gs = jax.lax.sort([gs], num_keys=1)[0]
+        split_pos = (jnp.arange(P - 1, dtype=jnp.int32) + 1) * (P * S) // P
+        splitters = gs[jnp.clip(split_pos - 1, 0, P * S - 1)]
+        dest = jnp.searchsorted(splitters, rank,
+                                side="left").astype(jnp.int32)
+
+        pairs = [(c.arr, c.valid) for c in t.cols] + \
+                [(a, v) for a, v, _, _ in key_specs]
+        dest_cap = self._dest_cap(cap)
+        new_pairs, new_alive, ovf = shuffle_rows(pairs, alive, dest, P,
+                                                 dest_cap)
+        self._overflow_flags.append(ovf)
+        nc = len(t.cols)
+        new_cols = [SCol(arr, v, c.dtype, c.dictionary)
+                    for (arr, v), c in zip(new_pairs[:nc], t.cols)]
+        new_specs = [(a, v, asc, nf)
+                     for (a, v), (_, _, asc, nf) in zip(new_pairs[nc:],
+                                                        key_specs)]
+        return (STable(new_cols, t.names, new_alive, P * dest_cap),
+                new_specs)
 
     def _eval(self, expr, t: STable, prep_key) -> VV:
         prep = self._preps[prep_key]
@@ -1150,6 +1221,32 @@ class DistFragment:
     def _dest_cap(self, cap: int) -> int:
         per = -(-cap // self.P) * self.shuffle_factor
         return max(128, -(-per // 128) * 128)
+
+
+def _orderable_rank(values, valid, ascending, nulls_first):
+    """uint64 rank whose ascending order matches one SQL sort key
+    (direction + null placement). Monotone but non-strict (the low bit is
+    sacrificed to the null flag) — exactly what range partitioning needs:
+    equal ranks land on one shard, the local sort separates them."""
+    a = values
+    if a.dtype == jnp.bool_:
+        a = a.astype(jnp.int32)
+    top = jnp.uint64(1) << jnp.uint64(63)
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        bits = jax.lax.bitcast_convert_type(a.astype(jnp.float64),
+                                            jnp.uint64)
+        neg = (bits >> jnp.uint64(63)) > 0
+        u = jnp.where(neg, ~bits, bits | top)
+    else:
+        u = a.astype(jnp.int64).astype(jnp.uint64) ^ top
+    if not ascending:
+        u = ~u
+    u = u >> jnp.uint64(1)
+    if valid is not None:
+        nr = (jnp.where(valid, top, jnp.uint64(0)) if nulls_first
+              else jnp.where(valid, jnp.uint64(0), top))
+        u = u | nr
+    return u
 
 
 class _OverflowRetry(Exception):

@@ -131,3 +131,79 @@ def test_dryrun_multichip_sizes(n_dev):
         pytest.skip("needs more devices")
     import __graft_entry__ as g
     g.dryrun_multichip(n_dev)
+
+
+# ---------------------------------------------------------------------------
+# distributed sort (range-partition exchange) + distributed LIMIT
+# ---------------------------------------------------------------------------
+
+def test_dist_order_by_exact_order(dist_engine, single_engine):
+    rng = np.random.default_rng(11)
+    fact, dim = _tables(rng)
+    for e in (dist_engine, single_engine):
+        e.register_table("fact", fact)
+    sql = "SELECT k, v FROM fact ORDER BY v, k"
+    got = dist_engine.execute(sql).to_pydict()
+    want = single_engine.execute(sql).to_pydict()
+    assert got == want  # exact row order, not just set equality
+
+
+def test_dist_order_by_desc_multikey(dist_engine, single_engine):
+    rng = np.random.default_rng(12)
+    fact, _ = _tables(rng)
+    for e in (dist_engine, single_engine):
+        e.register_table("fact", fact)
+    sql = "SELECT k, v, f FROM fact ORDER BY k DESC, f ASC, v DESC"
+    assert (dist_engine.execute(sql).to_pydict()
+            == single_engine.execute(sql).to_pydict())
+
+
+def test_dist_order_by_nulls(dist_engine, single_engine):
+    vals = [3, None, 1, None, 2, 7, None, 5] * 100
+    t = pa.table({"x": pa.array(vals, type=pa.int64()),
+                  "i": pa.array(range(len(vals)), type=pa.int64())})
+    for e in (dist_engine, single_engine):
+        e.register_table("nt", t)
+    for sql in ("SELECT x FROM nt ORDER BY x NULLS FIRST, i",
+                "SELECT x FROM nt ORDER BY x DESC NULLS LAST, i"):
+        assert (dist_engine.execute(sql).to_pydict()
+                == single_engine.execute(sql).to_pydict())
+
+
+def test_dist_order_by_limit_offset(dist_engine, single_engine):
+    rng = np.random.default_rng(13)
+    fact, _ = _tables(rng)
+    for e in (dist_engine, single_engine):
+        e.register_table("fact", fact)
+    for sql in ("SELECT v FROM fact ORDER BY v LIMIT 17",
+                "SELECT v FROM fact ORDER BY v DESC LIMIT 10 OFFSET 4995",
+                "SELECT v FROM fact ORDER BY v LIMIT 100 OFFSET 630"):
+        assert (dist_engine.execute(sql).to_pydict()
+                == single_engine.execute(sql).to_pydict()), sql
+
+
+def test_dist_sort_skewed_key(dist_engine, single_engine):
+    # 90% of rows share one key value: the range partitioner puts them
+    # all on one shard — capacity-factor retry must absorb it
+    rng = np.random.default_rng(14)
+    n = 4000
+    x = np.where(rng.random(n) < 0.9, 42, rng.integers(0, 1000, n))
+    t = pa.table({"x": pa.array(x, type=pa.int64()),
+                  "i": pa.array(range(n), type=pa.int64())})
+    for e in (dist_engine, single_engine):
+        e.register_table("sk", t)
+    sql = "SELECT x, i FROM sk ORDER BY x, i"
+    assert (dist_engine.execute(sql).to_pydict()
+            == single_engine.execute(sql).to_pydict())
+
+
+def test_dist_sort_strings(dist_engine, single_engine):
+    rng = np.random.default_rng(15)
+    words = [f"w{i:03d}" for i in range(40)]
+    t = pa.table({"s": [words[i] for i in rng.integers(0, 40, 3000)],
+                  "i": pa.array(range(3000), type=pa.int64())})
+    for e in (dist_engine, single_engine):
+        e.register_table("st", t)
+    sql = "SELECT s FROM st ORDER BY s DESC, i"
+    assert (dist_engine.execute(sql).to_pydict()
+            == single_engine.execute(sql).to_pydict())
