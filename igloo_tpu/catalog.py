@@ -22,7 +22,14 @@ from .table import DeviceTable
 
 
 class TableProvider:
-    """Lazily produces a DeviceTable; schema known up front."""
+    """Lazily produces a DeviceTable; schema known up front.
+
+    `identity` is a stable cross-process content fingerprint (e.g. file
+    path + mtime + size) used by the persistent result cache; None means
+    the table is process-local (in-memory) and cache keys involving it
+    stay process-scoped."""
+
+    identity: Optional[str] = None
 
     def schema(self) -> tuple:
         raise NotImplementedError
@@ -67,12 +74,14 @@ class LazyFileProvider(TableProvider):
     """Parquet/CSV/Iceberg-dir provider: schema peek now, decode+upload lazily."""
 
     def __init__(self, schema_fn: Callable[[], pa.Schema],
-                 load_fn: Callable[[], pa.Table], device=None):
+                 load_fn: Callable[[], pa.Table], device=None,
+                 identity: Optional[str] = None):
         self._schema_fn = schema_fn
         self._load_fn = load_fn
         self._device = device
         self._schema: Optional[tuple] = None
         self._loaded: Optional[DeviceTable] = None
+        self.identity = identity
 
     def schema(self):
         if self._schema is None:
@@ -108,6 +117,17 @@ class Catalog:
     def names(self) -> list[str]:
         with self._lock:
             return sorted(self._providers)
+
+    def fingerprint(self, volatile_token: str) -> str:
+        """Stable catalog identity for persistent cache keys: each file-
+        backed table contributes its content identity; in-memory tables
+        contribute the process-local volatile token."""
+        with self._lock:
+            parts = [
+                f"{name}={p.identity or ('volatile:' + volatile_token)}"
+                for name, p in sorted(self._providers.items())
+            ]
+        return ";".join(parts)
 
     def has(self, name: str) -> bool:
         return name.lower() in self._providers

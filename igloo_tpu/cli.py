@@ -62,9 +62,11 @@ def build_engine(args):
 
     if config.distributed:
         from .parallel.engine import DistributedQueryEngine
-        engine = DistributedQueryEngine(config=config)
+        engine = DistributedQueryEngine(config=config,
+                                        cache_dir=config.cache_dir)
     else:
-        engine = QueryEngine(result_cache=config.result_cache)
+        engine = QueryEngine(result_cache=config.result_cache,
+                             cache_dir=config.cache_dir)
 
     registered = False
     for name, spec in (config.tables or {}).items():

@@ -24,6 +24,8 @@ class EngineConfig:
     # execution
     result_cache: bool = True
     max_result_cache_entries: int = 64
+    # persistent (on-disk) result cache directory; None = memory-only
+    cache_dir: Optional[str] = None
     # serving
     serve_host: str = "127.0.0.1"
     serve_port: int = 50051                  # reference coordinator port (main.rs:67)

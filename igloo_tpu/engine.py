@@ -35,13 +35,21 @@ from .table import DeviceTable
 class QueryEngine:
     def __init__(self, device=None, result_cache: bool = True,
                  session_config: Optional[Mapping[str, str]] = None,
-                 fused: bool = True):
+                 fused: bool = True, cache_dir: Optional[str] = None):
         self.device = device
         self.catalog = Catalog()
         self.functions = FunctionRegistry()
         self.metrics = MetricsCollector()
         self.executor = Executor(self.catalog, self.functions, self.metrics)
-        self._result_cache = ResultCache() if result_cache else None
+        if cache_dir:
+            import uuid
+            from .cache import PersistentResultCache
+            self._result_cache = PersistentResultCache(cache_dir)
+            # engine-unique salt: in-memory tables must never produce
+            # cache hits across engines/processes
+            self._cache_salt = uuid.uuid4().hex
+        else:
+            self._result_cache = ResultCache() if result_cache else None
         self._plan_cache: dict[str, object] = {}
         self._epoch = 0
         self._lock = threading.RLock()
@@ -135,8 +143,11 @@ class QueryEngine:
     def sql(self, sql: str) -> DeviceTable:
         """Execute SQL → device-resident result table."""
         self.metrics.start_query(sql)
+        fp = self._cache_fingerprint()
         if self._result_cache is not None:
-            hit = self._result_cache.get(sql, self._epoch)
+            hit = (self._result_cache.get(sql, self._epoch, fp)
+                   if fp is not None
+                   else self._result_cache.get(sql, self._epoch))
             if hit is not None:
                 self.metrics.finish_query(hit.nrows, cache_hit=True)
                 return hit
@@ -144,9 +155,22 @@ class QueryEngine:
         out = self._execute_statement(stmt, sql)
         if self._result_cache is not None and isinstance(
                 getattr(stmt, "node", stmt), (ast.Select, ast.SetOp)):
-            self._result_cache.put(sql, self._epoch, out)
+            if fp is not None:
+                self._result_cache.put(sql, self._epoch, out, fp)
+            else:
+                self._result_cache.put(sql, self._epoch, out)
         self.metrics.finish_query(out.nrows)
         return out
+
+    def _cache_fingerprint(self) -> Optional[str]:
+        """Catalog + UDF fingerprint for the persistent cache tier (None
+        for the in-memory-only cache)."""
+        from .cache import PersistentResultCache
+        if not isinstance(self._result_cache, PersistentResultCache):
+            return None
+        vol = f"{self._cache_salt}:{self._epoch}"
+        udfs = ",".join(sorted(self.functions.udf_names()))
+        return self.catalog.fingerprint(vol) + "#udfs:" + udfs
 
     def _parse_cached(self, sql: str):
         key = ResultCache.normalize(sql)

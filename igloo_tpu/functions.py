@@ -352,9 +352,15 @@ def _expect_str(t: SqlType, name: str, ret: SqlType) -> SqlType:
 class FunctionRegistry:
     def __init__(self):
         self._fns = _registry_builtin()
+        self._udf_names: list[str] = []
 
     def get(self, name: str) -> ScalarFunction | None:
         return self._fns.get(name)
+
+    def udf_names(self) -> list[str]:
+        """Registered (non-builtin) UDF names — part of the persistent
+        result cache fingerprint."""
+        return list(self._udf_names)
 
     def register_udf(self, name: str, fn: Callable, *,
                      kind: str = "string",
@@ -385,3 +391,5 @@ class FunctionRegistry:
                 host_fn=fn, min_args=1, max_args=99)
         else:
             raise ValueError(f"unknown UDF kind {kind!r}")
+        if name not in self._udf_names:
+            self._udf_names.append(name)

@@ -26,6 +26,16 @@ from ..catalog import Catalog, LazyFileProvider
 from ..errors import CatalogError
 
 
+def _file_identity(kind: str, *paths: str) -> str:
+    """Stable cross-process content fingerprint for the persistent result
+    cache: absolute path + mtime_ns + size per file."""
+    parts = [kind]
+    for path in paths:
+        st = os.stat(path)
+        parts.append(f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
+
+
 def register_parquet(catalog: Catalog, name: str, path: str, device=None) -> None:
     if not os.path.exists(path):
         raise CatalogError(f"parquet path does not exist: {path}")
@@ -36,7 +46,9 @@ def register_parquet(catalog: Catalog, name: str, path: str, device=None) -> Non
     def load_fn():
         return pq.read_table(path)
 
-    catalog.register(name, LazyFileProvider(schema_fn, load_fn, device=device))
+    catalog.register(name, LazyFileProvider(
+        schema_fn, load_fn, device=device,
+        identity=_file_identity("parquet", path)))
 
 
 def register_csv(catalog: Catalog, name: str, path: str, *,
@@ -56,7 +68,9 @@ def register_csv(catalog: Catalog, name: str, path: str, *,
         return pacsv.read_csv(path, read_options=read_opts,
                               convert_options=conv_opts)
 
-    catalog.register(name, LazyFileProvider(schema_fn, load_fn, device=device))
+    catalog.register(name, LazyFileProvider(
+        schema_fn, load_fn, device=device,
+        identity=_file_identity("csv", path)))
 
 
 def register_iceberg(catalog: Catalog, name: str, table_dir: str, device=None) -> None:
@@ -80,4 +94,6 @@ def register_iceberg(catalog: Catalog, name: str, table_dir: str, device=None) -
         tables = [pq.read_table(f) for f in files()]
         return pa.concat_tables(tables, promote_options="permissive")
 
-    catalog.register(name, LazyFileProvider(schema_fn, load_fn, device=device))
+    catalog.register(name, LazyFileProvider(
+        schema_fn, load_fn, device=device,
+        identity=_file_identity("iceberg", *files())))

@@ -44,3 +44,55 @@ def test_from_pydict():
     dt = DeviceTable.from_pydict({"a": [1, 2, 3]})
     assert dt.nrows == 3
     assert dt.to_pydict()["a"] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# persistent result cache
+# ---------------------------------------------------------------------------
+
+def test_persistent_cache_cross_process_key(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from igloo_tpu import QueryEngine
+
+    data = pa.table({"x": pa.array(np.arange(100), type=pa.int64())})
+    src = tmp_path / "t.parquet"
+    pq.write_table(data, str(src))
+    cdir = str(tmp_path / "cache")
+
+    e1 = QueryEngine(cache_dir=cdir)
+    e1.register_parquet("t", str(src))
+    r1 = e1.execute("SELECT sum(x) AS s FROM t WHERE x < 50")
+    assert r1.column("s").to_pylist() == [sum(range(50))]
+
+    # a NEW engine (fresh process analog) hits the disk tier
+    e2 = QueryEngine(cache_dir=cdir)
+    e2.register_parquet("t", str(src))
+    before = e2._result_cache.hits
+    r2 = e2.execute("SELECT sum(x) AS s FROM t WHERE x < 50")
+    assert r2.column("s").to_pylist() == [sum(range(50))]
+    assert e2._result_cache.hits == before + 1
+
+    # touching the source file invalidates the key
+    import os, time
+    os.utime(str(src), (time.time() + 10, time.time() + 10))
+    e3 = QueryEngine(cache_dir=cdir)
+    e3.register_parquet("t", str(src))
+    e3.execute("SELECT sum(x) AS s FROM t WHERE x < 50")
+    assert e3._result_cache.hits == 0  # recomputed, not served stale
+
+
+def test_persistent_cache_memory_tables_never_cross(tmp_path):
+    import pyarrow as pa
+    from igloo_tpu import QueryEngine
+
+    cdir = str(tmp_path / "cache")
+    e1 = QueryEngine(cache_dir=cdir)
+    e1.register_table("m", pa.table({"x": [1, 2, 3]}))
+    assert e1.execute("SELECT sum(x) AS s FROM m").column("s").to_pylist() == [6]
+
+    e2 = QueryEngine(cache_dir=cdir)
+    e2.register_table("m", pa.table({"x": [10, 20, 30]}))
+    out = e2.execute("SELECT sum(x) AS s FROM m")
+    assert out.column("s").to_pylist() == [60]  # no stale cross-process hit
