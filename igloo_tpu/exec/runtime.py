@@ -316,10 +316,10 @@ class Executor:
                 inputs = []
                 for a in agg_specs:
                     if a.arg is None:
-                        inputs.append(AggInput(a.func, None, None, a.distinct))
+                        inputs.append(AggInput(a.func, None, None, a.distinct, a.param))
                     else:
                         v = next(it)
-                        inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct))
+                        inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct, a.param))
                 return ungrouped_aggregate(inputs, mask, PAD)
 
             out, _ = self._eval_program(rt, arg_exprs, "agg0", body)
@@ -345,10 +345,10 @@ class Executor:
             inputs = []
             for a in agg_specs:
                 if a.arg is None:
-                    inputs.append(AggInput(a.func, None, None, a.distinct))
+                    inputs.append(AggInput(a.func, None, None, a.distinct, a.param))
                 else:
                     v = next(it)
-                    inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct))
+                    inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct, a.param))
             keys = [(v.arr, v.valid) for v in gvv]
             out_keys, out_aggs, ngroups = grouped_aggregate(
                 keys, inputs, mask, max_groups=max_groups)

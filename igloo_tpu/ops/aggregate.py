@@ -35,10 +35,16 @@ _FLT_ACC = jnp.float64
 
 @dataclasses.dataclass
 class AggInput:
-    func: str                     # count_star|count|sum|avg|min|max|var|stddev|any_value
+    func: str                     # count_star|count|sum|avg|min|max|var|stddev|any_value|quantile
     arr: Optional[jax.Array]      # None for count_star
     valid: Optional[jax.Array]
     distinct: bool = False
+    param: Optional[float] = None  # quantile fraction
+
+    @property
+    def value_sorted(self) -> bool:
+        """Needs its arg values sorted within each group (holistic)."""
+        return self.distinct or self.func == "quantile"
 
 
 def _null_rank(valid):
@@ -91,12 +97,26 @@ def grouped_aggregate(keys: list[tuple[jax.Array, Optional[jax.Array]]],
             operands.append(_null_rank(valid))
         operands.append(arr.astype(jnp.int32) if arr.dtype == jnp.bool_ else arr)
 
+    key_operands = list(operands)      # alive + group keys, pre-value-sort
+
+    # the DISTINCT column (at most one) rides the MAIN sort — distinct-run
+    # detection needs it adjacent to the group-boundary flags. Holistic
+    # (quantile) columns each need their values sorted within groups too;
+    # extra ones get their own secondary sort below (group extents are
+    # intra-group-order-invariant, so starts/ends are shared).
     distinct_col = None
     for a in aggs:
         if a.distinct:
             if distinct_col is not None and distinct_col[0] is not a.arr:
                 raise ValueError("only one DISTINCT aggregate column supported")
             distinct_col = (a.arr, a.valid)
+    holistic_cols = []
+    for a in aggs:
+        if a.func == "quantile" and not any(h[0] is a.arr
+                                            for h in holistic_cols):
+            holistic_cols.append((a.arr, a.valid))
+    if distinct_col is None and holistic_cols:
+        distinct_col = holistic_cols[0]
     if distinct_col is not None:
         darr, dvalid = distinct_col
         if dvalid is not None:
@@ -193,9 +213,25 @@ def grouped_aggregate(keys: list[tuple[jax.Array, Optional[jax.Array]]],
         kvalid = valid[starts_c] if valid is not None else None
         out_keys.append((karr, kvalid))
 
+    # secondary value sorts: holistic columns beyond the primary get
+    # their own (alive, keys, null_rank, value) sort; group extents are
+    # intra-group-order-invariant, so starts/ends from the main sort
+    # apply unchanged
+    value_sorted: dict[int, jax.Array] = {}
+    for arr2, valid2 in holistic_cols:
+        if distinct_col is not None and arr2 is distinct_col[0]:
+            continue   # primary: already value-sorted in the main order
+        ops2 = list(key_operands)
+        if valid2 is not None:
+            ops2.append(_null_rank(valid2))
+        ops2.append(arr2.astype(jnp.int32) if arr2.dtype == jnp.bool_
+                    else arr2)
+        value_sorted[id(arr2)] = jax.lax.sort(
+            ops2, num_keys=len(ops2), is_stable=True)[-1]
+
     # ---- 5. aggregates via segmented scans, read at segment ends ----
     ctx = _SegCtx(seg, s_alive, distinct_new, starts_c, last, ends,
-                  starts, n)
+                  starts, n, value_sorted)
     out_aggs = [_compute_agg(a, sa, sv, ctx)
                 for a, (sa, sv) in zip(aggs, s_aggs)]
     return out_keys, out_aggs, ngroups
@@ -211,6 +247,7 @@ class _SegCtx:
     ends: jax.Array
     starts: jax.Array
     n: int
+    value_sorted: Optional[dict] = None   # id(orig arr) -> value-sorted arr
 
 
 def _seg_reduce_sum(vals, ctx: _SegCtx):
@@ -255,6 +292,22 @@ def _compute_agg(a: AggInput, s_arr, s_valid, ctx: _SegCtx):
     if a.func == "avg":
         s = _seg_reduce_sum(jnp.where(w, arr, 0).astype(_FLT_ACC), ctx)
         return s / jnp.maximum(cnt, 1).astype(_FLT_ACC), nonempty
+    if a.func == "quantile":
+        # use the value-sorted image of this column (the main sort when
+        # it is the primary holistic column, a secondary sort otherwise);
+        # valid values lead each group, so the linear-interpolated
+        # quantile is two gathers at the group's rank positions
+        if ctx.value_sorted and id(a.arr) in ctx.value_sorted:
+            arr = ctx.value_sorted[id(a.arr)]
+        q = a.param if a.param is not None else 0.5
+        h = q * jnp.maximum(cnt - 1, 0).astype(_FLT_ACC)
+        lo = jnp.floor(h)
+        frac = h - lo
+        lo_i = ctx.starts + lo.astype(jnp.int32)
+        hi_i = ctx.starts + jnp.ceil(h).astype(jnp.int32)
+        vlo = arr[jnp.clip(lo_i, 0, ctx.n - 1)].astype(_FLT_ACC)
+        vhi = arr[jnp.clip(hi_i, 0, ctx.n - 1)].astype(_FLT_ACC)
+        return vlo + (vhi - vlo) * frac, nonempty
     if a.func in ("min", "max"):
         if arr.dtype == jnp.bool_:
             arr = arr.astype(jnp.int32)
@@ -320,7 +373,18 @@ def ungrouped_aggregate(aggs: list[AggInput], alive: Optional[jax.Array],
                 continue
             raise ValueError(f"DISTINCT not supported for {a.func}")
         cnt = jnp.sum(w.astype(_INT_ACC))
-        if a.func == "count":
+        if a.func == "quantile":
+            # sort valid values to the front ascending, interpolate
+            s = jax.lax.sort([(~w).astype(jnp.int32), arr], num_keys=2)[1]
+            q = a.param if a.param is not None else 0.5
+            h = q * jnp.maximum(cnt - 1, 0).astype(_FLT_ACC)
+            lo = jnp.floor(h)
+            frac = h - lo
+            vlo = s[jnp.clip(lo.astype(jnp.int32), 0, n - 1)].astype(_FLT_ACC)
+            vhi = s[jnp.clip(jnp.ceil(h).astype(jnp.int32), 0, n - 1)
+                    ].astype(_FLT_ACC)
+            outs.append((vlo + (vhi - vlo) * frac, cnt > 0))
+        elif a.func == "count":
             outs.append((cnt, True))
         elif a.func == "sum":
             acc_t = _FLT_ACC if jnp.issubdtype(arr.dtype, jnp.floating) else _INT_ACC

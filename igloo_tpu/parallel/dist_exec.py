@@ -608,7 +608,11 @@ class DistFragment:
         t = self._exec(node.input, env)
         prep_key = id(node)
         gvv = [self._eval(g, t, prep_key) for g in node.group_exprs]
-        has_distinct = any(a.distinct for a in node.aggs)
+        # DISTINCT and holistic (quantile/median) aggregates need the
+        # group's raw rows co-located and value-sorted — route them
+        # through the row-shuffle path
+        has_distinct = any(a.distinct or a.func in L.HOLISTIC_AGGS
+                           for a in node.aggs)
 
         if not node.group_exprs and not has_distinct:
             # ungrouped: plain masked reductions to per-shard scalars,
@@ -619,7 +623,7 @@ class DistFragment:
 
         gbound = self._group_bound(t, node.group_exprs)
         if not node.group_exprs:
-            # only reachable with DISTINCT aggs: constant-key grouping
+            # only reachable with DISTINCT/holistic aggs: constant key
             gvv = [VV(jnp.zeros((t.cap,), jnp.int32), None)]
             gbound = pad_count(1)
 
@@ -633,10 +637,10 @@ class DistFragment:
             inputs = []
             for a in node.aggs:
                 if a.arg is None:
-                    inputs.append(AggInput(a.func, None, None, a.distinct))
+                    inputs.append(AggInput(a.func, None, None, a.distinct, a.param))
                 else:
                     v = self._eval(a.arg, t, prep_key)
-                    inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct))
+                    inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct, a.param))
             out_keys, out_aggs, ngroups = grouped_aggregate(
                 [(v.arr, v.valid) for v in gvv], inputs, t.alive,
                 max_groups=gbound)
@@ -644,26 +648,40 @@ class DistFragment:
                                       gbound)
 
         if has_distinct:
-            # shuffle raw rows by group key, then one full local aggregate
+            # shuffle raw rows by group key, then one full local aggregate.
+            # Dedupe shuffled payloads by source array identity — several
+            # holistic aggs over one column must keep sharing one array
+            # (grouped_aggregate's single-sorted-column check is by id)
             arg_vvs = [self._eval(a.arg, t, prep_key) if a.arg is not None
                        else None for a in node.aggs]
+            uniq_slot: dict[tuple, int] = {}
+            uniq_vvs = []
+            for v in arg_vvs:
+                if v is None:
+                    continue
+                k = (id(v.arr), id(v.valid))
+                if k not in uniq_slot:
+                    uniq_slot[k] = len(uniq_vvs)
+                    uniq_vvs.append(v)
             pairs = [(v.arr, v.valid) for v in gvv] + \
-                    [(v.arr, v.valid) for v in arg_vvs if v is not None]
+                    [(v.arr, v.valid) for v in uniq_vvs]
             key64, _ = join_ops.normalize_keys([v.arr for v in gvv])
             dest = dest_from_key(key64, self.P)
             dest_cap = self._dest_cap(t.cap)
             new_pairs, alive, ovf = shuffle_rows(pairs, t.alive, dest,
                                                  self.P, dest_cap)
             self._overflow_flags.append(ovf)
-            it = iter(new_pairs)
-            s_keys = [next(it) for _ in gvv]
-            s_args = []
-            for v in arg_vvs:
-                s_args.append(next(it) if v is not None else None)
+            s_keys = new_pairs[:len(gvv)]
+            s_uniq = new_pairs[len(gvv):]
+            s_args = [
+                (s_uniq[uniq_slot[(id(v.arr), id(v.valid))]]
+                 if v is not None else None)
+                for v in arg_vvs
+            ]
             inputs = [
                 AggInput(a.func, s_args[i][0] if s_args[i] is not None else None,
                          s_args[i][1] if s_args[i] is not None else None,
-                         a.distinct)
+                         a.distinct, a.param)
                 for i, a in enumerate(node.aggs)
             ]
             new_cap = min(gbound, self.P * dest_cap)

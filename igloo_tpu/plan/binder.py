@@ -579,9 +579,27 @@ class Binder:
         name = fc.name
         if name == "count" and len(fc.args) == 1 and isinstance(fc.args[0], ast.Star):
             return AggSpec("count_star", None, False, out_name, SqlType.INT64, False)
+        if name == "quantile":
+            if len(fc.args) != 2:
+                raise BindError("quantile(expr, fraction)")
+            arg = self.bind_expr(fc.args[0], scope)
+            qlit = fc.args[1]
+            if not (isinstance(qlit, ast.Literal)
+                    and isinstance(qlit.value, (int, float))
+                    and 0 <= qlit.value <= 1):
+                raise BindError("quantile() fraction must be a literal in [0, 1]")
+            if not arg.dtype.is_numeric:
+                raise BindError(f"quantile() over {arg.dtype.name} not supported")
+            return AggSpec("quantile", arg, False, out_name, SqlType.FLOAT64,
+                           True, float(qlit.value))
         if len(fc.args) != 1:
             raise BindError(f"{name}() takes exactly one argument")
         arg = self.bind_expr(fc.args[0], scope)
+        if name == "median":
+            if not arg.dtype.is_numeric:
+                raise BindError(f"median() over {arg.dtype.name} not supported")
+            return AggSpec("quantile", arg, False, out_name, SqlType.FLOAT64,
+                           True, 0.5)
         if name == "count":
             return AggSpec("count", arg, fc.distinct, out_name, SqlType.INT64, False)
         if name in ("sum",):

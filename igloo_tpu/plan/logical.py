@@ -148,7 +148,12 @@ class BScalarSubquery(BExpr):
 # --------------------------------------------------------------------------
 
 AGG_FUNCS = ("sum", "count", "min", "max", "avg", "stddev", "stddev_samp",
-             "var", "var_samp", "first_value", "any_value")
+             "var", "var_samp", "first_value", "any_value",
+             "median", "quantile")
+
+# holistic aggregates need every raw row of the group in one place
+# (value-sorted) — they never decompose into mergeable partials
+HOLISTIC_AGGS = ("median", "quantile")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,6 +164,7 @@ class AggSpec:
     out_name: str
     out_dtype: SqlType
     out_nullable: bool
+    param: Optional[float] = None   # quantile fraction
 
 
 # --------------------------------------------------------------------------

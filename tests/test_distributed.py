@@ -207,3 +207,20 @@ def test_dist_sort_strings(dist_engine, single_engine):
     sql = "SELECT s FROM st ORDER BY s DESC, i"
     assert (dist_engine.execute(sql).to_pydict()
             == single_engine.execute(sql).to_pydict())
+
+
+def test_dist_median(dist_engine, single_engine):
+    rng = np.random.default_rng(16)
+    fact, _ = _tables(rng)
+    for e in (dist_engine, single_engine):
+        e.register_table("fact", fact)
+    sql = ("SELECT k, median(v) AS m, quantile(f, 0.9) AS q FROM fact "
+           "GROUP BY k ORDER BY k")
+    got = dist_engine.execute(sql).to_pydict()
+    want = single_engine.execute(sql).to_pydict()
+    assert got["k"] == want["k"]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got["m"], want["m"]))
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got["q"], want["q"]))
+    sql2 = "SELECT median(v) AS m FROM fact"
+    assert (dist_engine.execute(sql2).to_pydict()
+            == single_engine.execute(sql2).to_pydict())

@@ -633,3 +633,36 @@ def test_join_no_equi_keys(engine):
                     out.column("older").to_pylist())) == [
         ("Alice", "Bob"), ("Alice", "Charlie"), ("Bob", "Charlie"),
         ("Charlie", None)]
+
+
+def test_median_quantile(engine):
+    import pyarrow as pa
+    engine.register_table("mq", pa.table({
+        "g": ["a", "a", "a", "b", "b", "c"],
+        "x": pa.array([10, 30, 20, 5, 15, 7], type=pa.int64()),
+        "y": pa.array([1.0, None, 3.0, 2.0, None, None], type=pa.float64()),
+    }))
+    out = engine.execute(
+        "SELECT g, median(x) AS m, quantile(x, 0.0) AS lo, "
+        "quantile(x, 1.0) AS hi FROM mq GROUP BY g ORDER BY g")
+    assert out.column("m").to_pylist() == [20.0, 10.0, 7.0]
+    assert out.column("lo").to_pylist() == [10.0, 5.0, 7.0]
+    assert out.column("hi").to_pylist() == [30.0, 15.0, 7.0]
+    # even-count interpolation + nulls skipped
+    out = engine.execute("SELECT median(x) AS m, median(y) AS my FROM mq")
+    assert out.column("m").to_pylist() == [12.5]
+    assert out.column("my").to_pylist() == [2.0]
+    # quantile interpolation: 0.25 over [5,7,10,15,20,30]
+    out = engine.execute("SELECT quantile(x, 0.25) AS q FROM mq")
+    assert out.column("q").to_pylist() == [7.75]
+
+
+def test_median_empty_and_errors(engine):
+    import pyarrow as pa
+    import pytest as _pytest
+    from igloo_tpu.errors import BindError
+    engine.register_table("me", pa.table({"x": pa.array([1, 2, 3])}))
+    out = engine.execute("SELECT median(x) AS m FROM me WHERE x > 100")
+    assert out.column("m").to_pylist() == [None]
+    with _pytest.raises(BindError, match="fraction"):
+        engine.execute("SELECT quantile(x, 1.5) FROM me")
