@@ -665,7 +665,8 @@ class DistFragment:
                     uniq_vvs.append(v)
             pairs = [(v.arr, v.valid) for v in gvv] + \
                     [(v.arr, v.valid) for v in uniq_vvs]
-            key64, _ = join_ops.normalize_keys([v.arr for v in gvv])
+            key64, _ = join_ops.normalize_keys(
+                _null_safe_arrs([(v.arr, v.valid) for v in gvv]))
             dest = dest_from_key(key64, self.P)
             dest_cap = self._dest_cap(t.cap)
             new_pairs, alive, ovf = shuffle_rows(pairs, t.alive, dest,
@@ -725,7 +726,7 @@ class DistFragment:
 
         # shuffle partial groups by key hash (at most gbound rows/shard)
         pairs = [(a, v) for a, v in p_keys] + [(a, v) for a, v in p_aggs]
-        key64, _ = join_ops.normalize_keys([a for a, _ in p_keys])
+        key64, _ = join_ops.normalize_keys(_null_safe_arrs(p_keys))
         dest = dest_from_key(key64, self.P)
         dest_cap = self._dest_cap(gbound)
         new_pairs, alive, ovf = shuffle_rows(pairs, p_alive, dest, self.P,
@@ -971,7 +972,8 @@ class DistFragment:
                     for (arr, valid), c in zip(out_keys, t.cols)]
             return STable(cols, t.names, jnp.arange(gbound) < ngroups, gbound)
         pairs = [(c.arr, c.valid) for c in t.cols]
-        key64, _ = join_ops.normalize_keys([c.arr for c in t.cols])
+        key64, _ = join_ops.normalize_keys(
+            _null_safe_arrs([(c.arr, c.valid) for c in t.cols]))
         dest = dest_from_key(key64, self.P)
         dest_cap = self._dest_cap(t.cap)
         new_pairs, alive, ovf = shuffle_rows(pairs, t.alive, dest, self.P,
@@ -1241,6 +1243,14 @@ class DistFragment:
         return max(128, -(-per // 128) * 128)
 
 
+def _null_safe_arrs(pairs):
+    """Zero invalid lanes before hashing for shuffle placement: every
+    NULL key must land on ONE shard (the garbage under an invalid lane is
+    row-dependent and would scatter the null group)."""
+    return [a if v is None else jnp.where(v, a, jnp.zeros((), a.dtype))
+            for a, v in pairs]
+
+
 def _orderable_rank(values, valid, ascending, nulls_first):
     """uint64 rank whose ascending order matches one SQL sort key
     (direction + null placement). Monotone but non-strict (the low bit is
@@ -1261,9 +1271,11 @@ def _orderable_rank(values, valid, ascending, nulls_first):
         u = ~u
     u = u >> jnp.uint64(1)
     if valid is not None:
+        # all nulls share ONE rank (their value lanes hold garbage), so
+        # they land on one shard and the local multi-key sort orders them
         nr = (jnp.where(valid, top, jnp.uint64(0)) if nulls_first
               else jnp.where(valid, jnp.uint64(0), top))
-        u = u | nr
+        u = jnp.where(valid, u, jnp.uint64(0)) | nr
     return u
 
 

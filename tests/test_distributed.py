@@ -224,3 +224,24 @@ def test_dist_median(dist_engine, single_engine):
     sql2 = "SELECT median(v) AS m FROM fact"
     assert (dist_engine.execute(sql2).to_pydict()
             == single_engine.execute(sql2).to_pydict())
+
+
+def test_dist_null_group_key_expression(dist_engine, single_engine):
+    # NULLs produced by an EXPRESSION key carry row-dependent garbage in
+    # their value lanes; shuffle placement must still co-locate them all
+    rng = np.random.default_rng(17)
+    n = 4000
+    j = [None if rng.random() < 0.3 else int(x) for x in rng.integers(0, 3, n)]
+    t = pa.table({"k": pa.array(rng.integers(0, 1000, n), type=pa.int64()),
+                  "j": pa.array(j, type=pa.int64())})
+    for e in (dist_engine, single_engine):
+        e.register_table("njt", t)
+    sql = ("SELECT k + j AS g, count(*) AS c FROM njt GROUP BY k + j "
+           "ORDER BY g NULLS LAST")
+    got = dist_engine.execute(sql).to_pydict()
+    want = single_engine.execute(sql).to_pydict()
+    assert got == want
+    # distributed sort with a nullable leading key + secondary key
+    sql2 = "SELECT j, k FROM njt ORDER BY j NULLS FIRST, k LIMIT 50"
+    assert (dist_engine.execute(sql2).to_pydict()
+            == single_engine.execute(sql2).to_pydict())
