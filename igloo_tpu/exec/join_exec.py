@@ -452,7 +452,7 @@ def _cross_join(ex, node, left, right):
     def compacted(rt):
         if rt.mask is None:
             return rt, rt.capacity
-        arrs, valids, count = mask_ops.compact_cosort(
+        arrs, valids, count = mask_ops.compact(
             rt.mask, [c.arr for c in rt.cols], [c.valid for c in rt.cols])
         cols = [dataclasses.replace(c, arr=a, valid=v)
                 for c, a, v in zip(rt.cols, arrs, valids)]

@@ -82,7 +82,7 @@ class Executor:
             if fn is None:
                 @jax.jit
                 def fn(mask, arrs, valids):
-                    return masks.compact_cosort(mask, arrs, valids)
+                    return masks.compact(mask, arrs, valids)
                 self._jit_cache[key] = fn
             out_arrs, out_valids, count = fn(
                 rt.mask, [c.arr for c in rt.cols], [c.valid for c in rt.cols])

@@ -55,6 +55,19 @@ def compact_cosort(mask: jax.Array, arrays: list, valids: list):
     return out_arrays, out_valids, count
 
 
+def compact(mask: jax.Array, arrays: list, valids: list):
+    """Stream compaction: Pallas log-shift kernel when the capacity is
+    tile-aligned (ONE read + ONE write pass, ~8× faster than the sort
+    network at 67M rows), else the co-sort fallback."""
+    import jax as _jax
+
+    from .pallas import compact as pc
+    if pc.compactable(mask.shape[0]):
+        interpret = _jax.default_backend() != "tpu"
+        return pc.compact_rows(mask, arrays, valids, interpret=interpret)
+    return compact_cosort(mask, arrays, valids)
+
+
 def gather_rows(arrs: list[jax.Array], perm: jax.Array) -> list[jax.Array]:
     return [a[perm] for a in arrs]
 

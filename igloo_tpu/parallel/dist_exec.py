@@ -118,6 +118,10 @@ class STable:
     names: list[str]
     alive: object          # bool (cap,)
     cap: int
+    # True when `alive` is known to be a contiguous prefix (scan counts,
+    # sorted outputs, arange<ngroups aggregates) — egress then skips
+    # physical compaction entirely
+    prefix: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -203,7 +207,10 @@ class DistFragment:
         out_arrs, out_valids, out_counts, overflow = compiled(
             in_arrays, aux_arrays)
 
-        if bool(jax.device_get(overflow)):
+        # ONE host round trip for both scalars — the dev tunnel costs
+        # ~25 ms per device_get, so never pull them separately
+        ovf_host, counts_host = jax.device_get((overflow, out_counts))
+        if bool(ovf_host):
             raise _OverflowRetry()
 
         out_dicts = dict_env[id(plan)]
@@ -212,8 +219,10 @@ class DistFragment:
         for name, f, arr, valid, d in zip(
                 names, plan.schema, out_arrs, out_valids, out_dicts):
             cols[name] = PartCol(arr, valid, f.dtype, d)
-        total = int(np.asarray(jax.device_get(out_counts)).sum())
-        return PartitionedTable(cols, out_counts, self.mesh, total)
+        total = int(np.asarray(counts_host).sum())
+        pt = PartitionedTable(cols, out_counts, self.mesh, total)
+        pt.counts_host = np.asarray(counts_host)
+        return pt
 
     def _collect_scans(self, node, out=None):
         if out is None:
@@ -343,7 +352,8 @@ class DistFragment:
                 count = next(it)[0]
                 cap = cols[0].arr.shape[0] if cols else 0
                 alive = jnp.arange(cap) < count
-                env[id(node)] = STable(cols, names, alive, cap)
+                env[id(node)] = STable(cols, names, alive, cap,
+                                       prefix=True)
 
             self._aux_offsets = self._compute_aux_offsets()
             out = self._exec(plan, env)
@@ -352,12 +362,17 @@ class DistFragment:
                 overflow = overflow | f
             overflow = jax.lax.pmax(overflow.astype(jnp.int32), "d") > 0
             # compact alive rows to the front within each shard so the
-            # per-shard count prefix is the real data (co-sorted payload:
-            # permute-then-gather is ~7x slower on TPU)
-            from ..ops.masks import compact_cosort
-            c_arrs, c_valids, count = compact_cosort(
-                out.alive, [c.arr for c in out.cols],
-                [c.valid for c in out.cols])
+            # per-shard count prefix is the real data. Sorted/aggregated
+            # outputs are already prefix-compacted — skip the pass.
+            if out.prefix:
+                c_arrs = [c.arr for c in out.cols]
+                c_valids = [c.valid for c in out.cols]
+                count = jnp.sum(out.alive.astype(jnp.int32))
+            else:
+                from ..ops.masks import compact
+                c_arrs, c_valids, count = compact(
+                    out.alive, [c.arr for c in out.cols],
+                    [c.valid for c in out.cols])
             arrs = [a[None] for a in c_arrs]
             valids = [
                 (v if v is not None else jnp.ones((out.cap,), jnp.bool_))[None]
@@ -429,7 +444,8 @@ class DistFragment:
                          if isinstance(e, L.BColumn) else None)
                 cols.append(SCol(vv.arr.astype(f.dtype.to_jax()), vv.valid,
                                  f.dtype, d, stats))
-            return STable(cols, [f.name for f in node.schema], t.alive, t.cap)
+            return STable(cols, [f.name for f in node.schema], t.alive,
+                          t.cap, prefix=t.prefix)
         if isinstance(node, L.Aggregate):
             return self._exec_aggregate(node, env)
         if isinstance(node, L.Distinct):
@@ -446,7 +462,8 @@ class DistFragment:
             if self.P == 1:
                 return STable(t.cols, t.names,
                               first_k_mask(t.alive, node.limit, node.offset),
-                              t.cap)
+                              t.cap,
+                              prefix=t.prefix and node.offset == 0)
             # distributed LIMIT/OFFSET over the shard-ordered row stream:
             # each shard learns how many alive rows precede it (one small
             # all_gather) and keeps its slice of [offset, offset+limit)
@@ -463,7 +480,8 @@ class DistFragment:
                                     0, local_cnt)
             rank = jnp.cumsum(t.alive.astype(jnp.int64)) - 1
             keep = t.alive & (rank >= skip) & (rank < take_end)
-            return STable(t.cols, t.names, keep, t.cap)
+            return STable(t.cols, t.names, keep, t.cap,
+                          prefix=t.prefix and node.offset == 0)
         raise NotSupportedError(f"dist exec: {type(node).__name__}")
 
     def _exec_window(self, node: L.Window, env) -> STable:
@@ -494,7 +512,8 @@ class DistFragment:
             d = (prep.out_dict(s.arg)
                  if (f.dtype.is_string and s.arg is not None) else None)
             cols.append(SCol(a.astype(f.dtype.to_jax()), v, f.dtype, d))
-        return STable(cols, [f.name for f in node.schema], s_alive, t.cap)
+        return STable(cols, [f.name for f in node.schema], s_alive, t.cap,
+                      prefix=True)
 
     def _exec_sort(self, node: L.Sort, env) -> STable:
         from ..ops.sort_ops import sort_with_payload
@@ -517,7 +536,7 @@ class DistFragment:
         nc = len(t.cols)
         cols = [SCol(a, v, c.dtype, c.dictionary)
                 for a, v, c in zip(sp[:nc], sp[nc:2 * nc], t.cols)]
-        return STable(cols, t.names, sp[2 * nc], t.cap)
+        return STable(cols, t.names, sp[2 * nc], t.cap, prefix=True)
 
     def _range_exchange(self, t: STable, key_specs):
         """Repartition rows so shard s holds the s-th range of the
@@ -879,7 +898,7 @@ class DistFragment:
             out_alive = row0 & mine
         else:
             out_alive = row0
-        return STable(cols, names, out_alive, cap)
+        return STable(cols, names, out_alive, cap, prefix=True)
 
     def _exec_aggregate_mxu(self, node, t: STable, prep_key, mxu) -> STable:
         """Dense-small-key GROUP BY on the MXU (P==1 fast path)."""
@@ -956,7 +975,7 @@ class DistFragment:
         if not node.group_exprs:
             # single global group lives on exactly one shard; others empty
             pass
-        return STable(cols, names, alive, cap)
+        return STable(cols, names, alive, cap, prefix=True)
 
     def _exec_distinct(self, node: L.Distinct, env) -> STable:
         t = self._exec(node.input, env)
@@ -970,7 +989,8 @@ class DistFragment:
             cols = [SCol(arr.astype(c.dtype.to_jax()), valid, c.dtype,
                          c.dictionary)
                     for (arr, valid), c in zip(out_keys, t.cols)]
-            return STable(cols, t.names, jnp.arange(gbound) < ngroups, gbound)
+            return STable(cols, t.names, jnp.arange(gbound) < ngroups,
+                          gbound, prefix=True)
         pairs = [(c.arr, c.valid) for c in t.cols]
         key64, _ = join_ops.normalize_keys(
             _null_safe_arrs([(c.arr, c.valid) for c in t.cols]))
@@ -985,7 +1005,8 @@ class DistFragment:
         cols = [SCol(arr.astype(c.dtype.to_jax()), valid, c.dtype,
                      c.dictionary)
                 for (arr, valid), c in zip(out_keys, t.cols)]
-        return STable(cols, t.names, jnp.arange(cap) < ngroups, cap)
+        return STable(cols, t.names, jnp.arange(cap) < ngroups, cap,
+                      prefix=True)
 
     # ----- join -----
 

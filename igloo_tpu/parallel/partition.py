@@ -55,6 +55,7 @@ class PartitionedTable:
         self.counts = counts                # (P,) rows per partition
         self.mesh = mesh
         self.nrows = nrows
+        self.counts_host = None             # np copy when already pulled
 
     @property
     def num_parts(self) -> int:
@@ -140,8 +141,12 @@ class PartitionedTable:
     def to_device_table(self) -> DeviceTable:
         """Gather all partitions into a single (host-ordered) table."""
         if self.num_parts == 1:
-            # trivial mesh: device-side view, one scalar pull for the count
-            total = int(np.asarray(jax.device_get(self.counts))[0])
+            # trivial mesh: device-side view; reuse the already-pulled
+            # count when the fragment runner fetched it (saves a ~25 ms
+            # tunnel round trip per query)
+            ch = self.counts_host
+            total = int((ch if ch is not None
+                         else np.asarray(jax.device_get(self.counts)))[0])
             columns = {
                 name: Column(data=c.data[0], dtype=c.dtype,
                              validity=(c.valid[0] if c.valid is not None
@@ -150,7 +155,8 @@ class PartitionedTable:
                 for name, c in self.cols.items()
             }
             return DeviceTable(columns, total)
-        counts = np.asarray(jax.device_get(self.counts))
+        counts = (self.counts_host if self.counts_host is not None
+                  else np.asarray(jax.device_get(self.counts)))
         P = len(counts)
         total = int(counts.sum())
         cap = pad_count(max(total, 1))
