@@ -135,15 +135,23 @@ def _kernel(mask_ref, *rest, br: int, nplanes: int):
     new_total = pmod + k
     nr = new_total // _LANE
     nr_c = jnp.minimum(nr, br - 1)
-    for pi in range(nplanes):
-        merged = jnp.where(head, pend_ref[pi], planes[pi])
-        stage_ref[pi] = merged
-        pend_ref[pi] = stage_ref.at[pi][pl.ds(nr_c, 1), :]
-    for pi in range(nplanes):
-        dma = pltpu.make_async_copy(
-            stage_ref.at[pi], out_refs[pi].at[pl.ds(off, br)], sem)
-        dma.start()
-        dma.wait()
+    last = pl.program_id(0) == pl.num_programs(0) - 1
+
+    # blocks with no selected rows contribute nothing — skip their
+    # stage+DMA entirely (rows past the final count are garbage by
+    # contract, so nothing needs overwriting). The last block always
+    # writes, flushing the carried partial row.
+    @pl.when((k > 0) | last)
+    def _emit():
+        for pi in range(nplanes):
+            merged = jnp.where(head, pend_ref[pi], planes[pi])
+            stage_ref[pi] = merged
+            pend_ref[pi] = stage_ref.at[pi][pl.ds(nr_c, 1), :]
+        for pi in range(nplanes):
+            dma = pltpu.make_async_copy(
+                stage_ref.at[pi], out_refs[pi].at[pl.ds(off, br)], sem)
+            dma.start()
+            dma.wait()
 
     carry_ref[0] = off + nr
     carry_ref[1] = new_total - nr * _LANE
@@ -178,7 +186,7 @@ def _compact_planes(mask_i8, planes, interpret=False):
                 + (jax.ShapeDtypeStruct((1,), jnp.int32),)
             ),
             out_specs=(
-                tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+                tuple(pl.BlockSpec(memory_space=pl.ANY)
                       for _ in range(nplanes))
                 + (pl.BlockSpec(memory_space=pltpu.SMEM),)
             ),

@@ -457,6 +457,12 @@ class DistFragment:
         if isinstance(node, L.Window):
             return self._exec_window(node, env)
         if isinstance(node, L.Limit):
+            if (node.limit is not None and isinstance(node.input, L.Sort)
+                    and id(node.input) not in env):
+                # ORDER BY … LIMIT k: prune to top-k candidates before the
+                # sort (sample threshold + in-program verification)
+                env[id(node.input)] = self._exec_sort(
+                    node.input, env, topk_m=node.offset + node.limit)
             t = self._exec(node.input, env)
             from ..ops.masks import first_k_mask
             if self.P == 1:
@@ -515,12 +521,17 @@ class DistFragment:
         return STable(cols, [f.name for f in node.schema], s_alive, t.cap,
                       prefix=True)
 
-    def _exec_sort(self, node: L.Sort, env) -> STable:
+    def _exec_sort(self, node: L.Sort, env, topk_m=None) -> STable:
         from ..ops.sort_ops import sort_with_payload
         t = self._exec(node.input, env)
         key_vvs = [self._eval(k.expr, t, id(node)) for k in node.keys]
         key_specs = [(v.arr, v.valid, k.ascending, k.nulls_first)
                      for v, k in zip(key_vvs, node.keys)]
+
+        if topk_m is not None:
+            pruned = self._topk_prune(t, key_specs, topk_m)
+            if pruned is not None:
+                t, key_specs = pruned
 
         if self.P > 1:
             # sample-based range-partition exchange: shard s receives the
@@ -537,6 +548,96 @@ class DistFragment:
         cols = [SCol(a, v, c.dtype, c.dictionary)
                 for a, v, c in zip(sp[:nc], sp[nc:2 * nc], t.cols)]
         return STable(cols, t.names, sp[2 * nc], t.cap, prefix=True)
+
+    def _topk_prune(self, t: STable, key_specs, m: int):
+        """ORDER BY … LIMIT m: shrink the sort input to a candidate set
+        that provably contains the top-m rows, so the O(n log² n) sort
+        network runs over thousands of rows instead of millions.
+
+        Threshold = the (m·S/n + slack)-th order statistic of a strided
+        S-sample of the FULL sort tuple (every key's orderable rank plus
+        a row-index tiebreak — tuples are distinct, so duplicate-heavy
+        keys cannot blow up the candidate set). Candidates = rows whose
+        tuple ≤ threshold; by the downstream sort's stability they are
+        exactly a superset of the rows a full stable sort would emit
+        first. Correct for ANY data: the program verifies
+        candidate_count ∈ [min(m, alive), capacity]; a miss raises the
+        fragment's overflow flag and the host retries with doubled slack.
+        (The reference has no top-k path at all — DataFusion's
+        SortExec + GlobalLimitExec sort everything.)"""
+        import math
+
+        n = t.cap
+        factor = self.shuffle_factor
+        if m <= 0 or n < (1 << 18):
+            return None
+        S = min(1 << 16, n)
+        stride = max(n // S, 1)
+        j = -(-m * S // n)
+        slack = (4 * math.isqrt(j + 1) + 16) * factor
+        j_up = min(S - 1, j + slack)
+        base_cap = (2 * (j_up + 2) * stride + 8192) * max(factor // 4, 1)
+        if base_cap >= min(n, 1 << 20):
+            return None                 # degenerate — full sort instead
+        cap = pad_count(min(n, base_cap))
+
+        umax = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        ranks = [
+            jnp.where(t.alive, _orderable_rank(a, v, asc, nf), umax)
+            for a, v, asc, nf in key_specs
+        ]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        idx_d = jnp.where(t.alive, idx, jnp.int32(0x7FFFFFFF))
+
+        off0 = (7919 * factor) % stride
+        samp = [r[off0::stride][:S] for r in ranks] + [idx_d[off0::stride][:S]]
+        srt = jax.lax.sort(samp, num_keys=len(samp))
+        t_ranks = [s[j_up] for s in srt[:-1]]
+        t_i = srt[-1][j_up]
+
+        cond = idx_d <= t_i
+        for rk, tk in zip(reversed(ranks), reversed(t_ranks)):
+            cond = (rk < tk) | ((rk == tk) & cond)
+        cand = t.alive & cond
+
+        # compact candidate rows (dedupe arrays shared between payload
+        # columns and evaluated key expressions)
+        from ..ops.masks import compact
+        slot: dict[int, int] = {}
+        arrays, valids = [], []
+
+        def add(a, v):
+            if a is None:
+                return None
+            if id(a) not in slot:
+                slot[id(a)] = len(arrays)
+                arrays.append(a)
+                valids.append(v)
+            return slot[id(a)]
+
+        col_slots = [(add(c.arr, c.valid)) for c in t.cols]
+        key_slots = [add(a, v) for a, v, _, _ in key_specs]
+        c_arrs, c_valids, cnt = compact(cand, arrays, valids)
+
+        n_alive = jnp.sum(t.alive.astype(jnp.int32))
+        ok = (cnt >= jnp.minimum(jnp.int32(m), n_alive)) & (cnt <= cap)
+        self._overflow_flags.append(~ok)
+
+        def take(s):
+            return (c_arrs[s][:cap],
+                    None if c_valids[s] is None else c_valids[s][:cap])
+
+        new_cols = []
+        for c, s in zip(t.cols, col_slots):
+            a, v = take(s)
+            new_cols.append(SCol(a, v, c.dtype, c.dictionary, c.stats))
+        new_specs = []
+        for (a0, v0, a_, nf_), s in zip(key_specs, key_slots):
+            a, v = take(s)
+            new_specs.append((a, v, a_, nf_))
+        alive = jnp.arange(cap) < jnp.minimum(cnt, cap)
+        return (STable(new_cols, t.names, alive, cap, prefix=True),
+                new_specs)
 
     def _range_exchange(self, t: STable, key_specs):
         """Repartition rows so shard s holds the s-th range of the

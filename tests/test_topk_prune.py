@@ -1,0 +1,71 @@
+"""ORDER BY … LIMIT top-k candidate pruning (dist_exec._topk_prune).
+
+Tables above the 2^18-row gate so the prune path actually engages;
+results must be byte-identical to a full stable sort, including
+duplicate-heavy keys (tuple+row-index threshold), multi-key sorts,
+OFFSET, and NULL ordering.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from igloo_tpu import QueryEngine
+
+N = 1 << 19
+
+
+@pytest.fixture(scope="module")
+def eng():
+    e = QueryEngine(result_cache=False)
+    rng = np.random.default_rng(0)
+    k = rng.integers(0, 1 << 40, N)
+    e.register_table("t", pa.table({"k": pa.array(k, type=pa.int64())}))
+    kt = np.zeros(N, dtype=np.int64)
+    kt[::1000] = 1
+    e.register_table("t2", pa.table({"k": pa.array(kt),
+                                     "i": pa.array(np.arange(N))}))
+    a = rng.integers(0, 4, N)
+    b = rng.integers(0, 1 << 30, N)
+    e.register_table("t3", pa.table({"a": pa.array(a), "b": pa.array(b)}))
+    kn = rng.integers(0, 1000, N).astype(object)
+    kn[rng.random(N) < 0.01] = None
+    e.register_table("t4", pa.table({"k": pa.array(kn.tolist(),
+                                                   type=pa.int64())}))
+    e._np = dict(k=k, kt=kt, a=a, b=b)
+    return e
+
+
+def test_topk_asc(eng):
+    got = eng.execute("SELECT k FROM t ORDER BY k LIMIT 50").column(0).to_pylist()
+    assert got == sorted(eng._np["k"].tolist())[:50]
+
+
+def test_topk_desc(eng):
+    got = eng.execute("SELECT k FROM t ORDER BY k DESC LIMIT 50").column(0).to_pylist()
+    assert got == sorted(eng._np["k"].tolist(), reverse=True)[:50]
+
+
+def test_topk_offset(eng):
+    got = eng.execute(
+        "SELECT k FROM t ORDER BY k LIMIT 20 OFFSET 30").column(0).to_pylist()
+    assert got == sorted(eng._np["k"].tolist())[30:50]
+
+
+def test_topk_heavy_ties_stable(eng):
+    got = eng.execute("SELECT i FROM t2 ORDER BY k LIMIT 10").column(0).to_pylist()
+    idx = np.argsort(eng._np["kt"], kind="stable")[:10]
+    assert got == np.arange(N)[idx].tolist()
+
+
+def test_topk_multikey_leading_ties(eng):
+    got = eng.execute("SELECT a, b FROM t3 ORDER BY a, b LIMIT 25")
+    order = np.lexsort((eng._np["b"], eng._np["a"]))[:25]
+    assert got.column(0).to_pylist() == eng._np["a"][order].tolist()
+    assert got.column(1).to_pylist() == eng._np["b"][order].tolist()
+
+
+def test_topk_nulls_first(eng):
+    got = eng.execute(
+        "SELECT k FROM t4 ORDER BY k NULLS FIRST LIMIT 10").column(0).to_pylist()
+    assert all(x is None for x in got)
