@@ -1251,7 +1251,10 @@ class DistFragment:
             # host retries with the expansion variant.
             self._overflow_flags.append(jnp.max(counts) > 1)
             inner_cap = lt.cap
-            probe_row = jnp.arange(lt.cap, dtype=jnp.int32)
+            # probe_row is the identity here — None elides the gather
+            # (an explicit arange index array materializes 64MB of
+            # indices and defeats XLA's fast gather emitter)
+            probe_row = None
             build_pos = jnp.clip(start, 0, nb - 1)
             slot_valid = counts > 0
             if lt.alive is not None:
@@ -1270,13 +1273,16 @@ class DistFragment:
         if not exact:
             ok = None
             for (la, _), ra in zip(l_keys, sb_verify):
-                eq = la[probe_row] == ra[bpos]
+                lv = la if probe_row is None else la[probe_row]
+                eq = lv == ra[bpos]
                 ok = eq if ok is None else (ok & eq)
             slot_valid = slot_valid & ok
 
         segments = []
 
         def gather_l(idx):
+            if idx is None:          # identity: output row i IS probe row i
+                return [(c.arr, c.valid) for c in lt.cols]
             return [(c.arr[idx], None if c.valid is None else c.valid[idx])
                     for c in lt.cols]
 
