@@ -30,7 +30,13 @@ from ..sql.ast import JoinKind
 from ..plan import logical as L
 from ..table import pad_count
 from ..ops import join_ops
+from ..ops.gather_ops import gather_columns
+from ..ops.pallas import vmem_gather as _vg
 from .expr import merge_dicts
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
 
 
 def execute_join(ex, node: L.Join, left, right):
@@ -101,6 +107,7 @@ def execute_join(ex, node: L.Join, left, right):
     phase_c = ex._jit_cache.get(key_c)
     if phase_c is None:
         direct_params = direct
+        interpret = _interp()
 
         @jax.jit
         def phase_c(l_arrs, l_valids, l_mask, r_arrs, r_valids, r_mask,
@@ -131,17 +138,23 @@ def execute_join(ex, node: L.Join, left, right):
                 cnt = jnp.zeros((span + 1,), jnp.int32).at[roff + 1].add(
                     rj.astype(jnp.int32), mode="drop")
                 cum = jnp.cumsum(cnt)
-                # pack (start, per-value count) into ONE int64 table so a
-                # probe row costs a single random gather
-                packed = ((cum[:-1].astype(jnp.int64) << 32)
-                          | (cum[1:] - cum[:-1]).astype(jnp.int64))
                 loff = lkey.astype(jnp.int64) - lo
                 in_range = (loff >= 0) & (loff < span) & lj
                 lc = jnp.clip(loff, 0, span - 1).astype(jnp.int32)
-                hit = packed[lc]
-                start = (hit >> 32).astype(jnp.int32)
-                counts = jnp.where(in_range,
-                                   (hit & 0xFFFFFFFF).astype(jnp.int32), 0)
+                if _vg.fits(span, 2):
+                    # VMEM page-walk kernel: two int32 planes
+                    start, cntv = gather_columns(
+                        [cum[:-1], cum[1:] - cum[:-1]], lc,
+                        interpret=interpret)
+                else:
+                    # pack (start, per-value count) into ONE int64 table
+                    # so a probe row costs a single random gather
+                    packed = ((cum[:-1].astype(jnp.int64) << 32)
+                              | (cum[1:] - cum[:-1]).astype(jnp.int64))
+                    hit = packed[lc]
+                    start = (hit >> 32).astype(jnp.int32)
+                    cntv = (hit & 0xFFFFFFFF).astype(jnp.int32)
+                counts = jnp.where(in_range, cntv, 0)
             else:
                 start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
             total = jnp.sum(counts.astype(jnp.int64))
@@ -309,6 +322,7 @@ def _unique_path(ex, node, left, right, start, counts, build: _BuildSide,
     fn = ex._jit_cache.get(key)
     if fn is None:
         kind = node.kind
+        interpret = _interp()
 
         @jax.jit
         def fn(l_arrs, l_valids, l_mask, start, counts,
@@ -316,17 +330,23 @@ def _unique_path(ex, node, left, right, start, counts, build: _BuildSide,
             matched = counts > 0
             pos = jnp.clip(start, 0, sb_arrs[0].shape[0] - 1 if sb_arrs
                            else 0)
+            # ONE multi-column row gather fetches every build column,
+            # its valid bits, and the verify keys (ops/gather_ops.py)
+            to_gather = list(sb_arrs) + list(sb_valids) \
+                + (list(sb_verify) if sb_verify is not None else [])
+            gathered = gather_columns(to_gather, pos, interpret=interpret)
+            ncb = len(sb_arrs)
+            g_arrs = gathered[:ncb]
+            g_valids = gathered[ncb:2 * ncb]
             if sb_verify is not None:
                 ok = None
-                for la, ra in zip(vl_arrs, sb_verify):
-                    eq = la == ra[pos]
+                for la, ra in zip(vl_arrs, gathered[2 * ncb:]):
+                    eq = la == ra
                     ok = eq if ok is None else (ok & eq)
                 matched = matched & ok
             lm = l_mask if l_mask is not None else jnp.ones((cap,), jnp.bool_)
             build_cols = []
-            for a, v in zip(sb_arrs, sb_valids):
-                arr = a[pos]
-                valid = v[pos] if v is not None else None
+            for arr, valid in zip(g_arrs, g_valids):
                 if kind is JoinKind.LEFT:
                     valid = matched if valid is None else (valid & matched)
                 build_cols.append((arr, valid))
@@ -364,6 +384,8 @@ def _segmented_path(ex, node, left, right, start, counts, build: _BuildSide,
            _sig(left), _sig(right), build.verify is not None)
     fn = ex._jit_cache.get(key)
     if fn is None:
+        interpret = _interp()
+
         @jax.jit
         def fn(l_arrs, l_valids, l_mask, start, counts,
                sb_arrs, sb_valids, sb_alive, sb_joinable, sb_verify,
@@ -372,25 +394,30 @@ def _segmented_path(ex, node, left, right, start, counts, build: _BuildSide,
                 start, counts, inner_cap)
             nb = sb_alive.shape[0]
             bpos = jnp.clip(build_pos, 0, nb - 1)
+            l_all = list(zip(l_arrs, l_valids))
+
+            # one packed row gather per side: columns + valids + verify
+            # keys all ride the same lookup (ops/gather_ops.py)
+            l_gather = list(l_arrs) + list(l_valids) \
+                + (list(vl_arrs) if sb_verify is not None else [])
+            b_gather = list(sb_arrs) + list(sb_valids) \
+                + (list(sb_verify) if sb_verify is not None else [])
+            lg = gather_columns(l_gather, probe_row, interpret=interpret)
+            bg = gather_columns(b_gather, bpos, interpret=interpret)
+            ncl_ = len(l_arrs)
+            ncb_ = len(sb_arrs)
             if sb_verify is not None:
                 ok = None
-                for la, ra in zip(vl_arrs, sb_verify):
-                    eq = la[probe_row] == ra[bpos]
+                for la, ra in zip(lg[2 * ncl_:], bg[2 * ncb_:]):
+                    eq = la == ra
                     ok = eq if ok is None else (ok & eq)
                 slot_valid = slot_valid & ok
 
             seg_masks = [slot_valid]
-            l_all = list(zip(l_arrs, l_valids))
-
-            def gather_l(idx):
-                return [(a[idx], None if v is None else v[idx])
-                        for a, v in l_all]
-
-            def gather_b(idx):
-                return [(a[idx], None if v is None else v[idx])
-                        for a, v in zip(sb_arrs, sb_valids)]
-
-            segments = [(gather_l(probe_row), gather_b(bpos))]
+            segments = [(
+                list(zip(lg[:ncl_], lg[ncl_:2 * ncl_])),
+                list(zip(bg[:ncb_], bg[ncb_:2 * ncb_])),
+            )]
 
             if want_probe_seg:
                 cap_l = counts.shape[0]

@@ -1,0 +1,92 @@
+"""Multi-column row gather: one lookup fetches every column.
+
+The TPU pays ~10 ns per XLA gather *element* almost independent of the
+row width (measured on v5e: 1×int32 rows 97M rows/s, 4×int32 rows 128M
+rows/s). Fetching C columns with C separate gathers therefore costs C×
+what one gather of C-word rows costs. This module routes a multi-column
+gather to the cheapest mechanism:
+
+1. `vmem_gather` (ops/pallas/vmem_gather.py) when the table fits the
+   kernel's VMEM/crossover budget — VPU page-walk, ~10× XLA at 32 K
+   entries, column count nearly free;
+2. one packed XLA row gather otherwise: columns bit-pack into an
+   (B, W) int32 matrix, one gather fetches W-word rows, columns unpack
+   with bitcasts (all fused by XLA);
+3. a plain `a[idx]` when there is only one word anyway.
+
+This replaces the per-column probe/assembly loads of the reference's
+HashJoinExec (/root/reference/crates/engine/src/operators/hash_join.rs:221-280)
+with batched HBM transactions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .pallas import vmem_gather as vg
+
+
+def _planes_of(a: jax.Array):
+    dt = a.dtype
+    if dt in (jnp.int64, jnp.uint64, jnp.float64):
+        w = jax.lax.bitcast_convert_type(a, jnp.int32)      # (n, 2)
+        return [w[:, 0], w[:, 1]], dt
+    if dt in (jnp.float32, jnp.uint32):
+        return [jax.lax.bitcast_convert_type(a, jnp.int32)], dt
+    if dt == jnp.int32:
+        return [a], dt
+    return [a.astype(jnp.int32)], dt
+
+
+def _rebuild(planes: list, dt):
+    if dt in (jnp.int64, jnp.uint64, jnp.float64):
+        w = jnp.stack([planes[0], planes[1]], axis=-1)
+        return jax.lax.bitcast_convert_type(w, dt)
+    if dt in (jnp.float32, jnp.uint32):
+        return jax.lax.bitcast_convert_type(planes[0], dt)
+    if dt == jnp.int32:
+        return planes[0]
+    return planes[0].astype(dt)
+
+
+def gather_columns(arrays: list, idx: jax.Array, interpret: bool = False):
+    """out[c][i] = arrays[c][idx[i]] — all columns in one pass.
+
+    arrays: 1-D device columns of equal length B (None entries pass
+    through as None). idx: (N,) integer indices already clamped to
+    [0, B). Works under jit.
+    """
+    live = [a for a in arrays if a is not None]
+    if not live:
+        return list(arrays)
+    b = live[0].shape[0]
+    idx = idx.astype(jnp.int32)
+
+    planes = []
+    recipes = []                       # (slot, nplanes, dtype) or None
+    for a in arrays:
+        if a is None:
+            recipes.append(None)
+            continue
+        ps, dt = _planes_of(a)
+        recipes.append((len(planes), len(ps), dt))
+        planes.extend(ps)
+
+    if vg.fits(b, len(planes)):
+        out_planes = vg.vmem_gather(planes, idx, interpret=interpret)
+    elif len(planes) >= 2:
+        packed = jnp.stack(planes, axis=-1)          # (B, W) int32
+        rows = packed[idx]                           # one W-word gather
+        out_planes = [rows[:, k] for k in range(len(planes))]
+    else:
+        out_planes = [planes[0][idx]]
+
+    outs = []
+    for r in recipes:
+        if r is None:
+            outs.append(None)
+            continue
+        slot, np_, dt = r
+        outs.append(_rebuild(out_planes[slot:slot + np_], dt))
+    return outs
