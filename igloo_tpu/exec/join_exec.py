@@ -93,6 +93,12 @@ def execute_join(ex, node: L.Join, left, right):
                         and span <= (1 << 24):
                     direct = (int(lo), int(span))
 
+    # ---- hash-bucket path: no dense key range → bucket-addressed build
+    # (scatter histogram + contiguous candidates) instead of the
+    # searchsorted probe (~5M rows/s on TPU; buckets >100M) ----
+    if direct is None:
+        return _bucket_join(ex, node, left, right, l_keys, r_keys, exact)
+
     # build payload: right columns (+valids), alive/joinable flags, and —
     # for hashed multi-key verification — the original key arrays
     need_verify = not exact
@@ -202,6 +208,274 @@ def execute_join(ex, node: L.Join, left, right):
     if node.residual is not None:
         rt = _apply_residual(ex, rt, node.residual)
     return rt
+
+
+def _bucket_join(ex, node, left, right, l_keys, r_keys, exact):
+    """Hash-bucket join (INNER/LEFT/SEMI/ANTI, non-dense keys).
+
+    Build rows sort by (dead, bucket, key); a scatter histogram + cumsum
+    yields per-bucket (start, count), so the probe is one packed gather
+    instead of a binary search. Candidates verify against the actual key
+    (hash collisions share buckets), which also lifts the classic path's
+    >64-bit-multi-key restrictions on LEFT/SEMI/ANTI. Path choice comes
+    from one 3-scalar host read:
+    - real key dups ≤ 1 and bucket max ≤ 8 → candidate-window probe
+      (output row i = probe row i; K shifted tables make the K candidate
+      keys ONE row gather);
+    - otherwise → expansion with per-slot verification (LEFT semantics
+      via a cumsum segment-OR over verified slots).
+    """
+    if node.residual is not None and node.kind is not JoinKind.INNER:
+        raise NotSupportedError(
+            "non-equi residual conditions on outer joins are not "
+            "supported yet")
+
+    cap_r = right.capacity
+    s = 1 << max(10, min(26, (4 * cap_r - 1).bit_length()))
+    exact_dtypes = [a.dtype for a, _ in l_keys]
+
+    key_c = ("join_bc", left.capacity, cap_r, s,
+             tuple(str(d) for d in exact_dtypes),
+             tuple(v is not None for _, v in l_keys),
+             tuple(v is not None for _, v in r_keys),
+             left.mask is not None, right.mask is not None,
+             _sig(right), exact)
+    phase = ex._jit_cache.get(key_c)
+    if phase is None:
+        interpret = _interp()
+
+        @jax.jit
+        def phase(l_arrs, l_valids, l_mask, r_arrs, r_valids, r_mask,
+                  r_cols, r_colvalids):
+            lkey, _ = join_ops.normalize_keys(list(l_arrs))
+            rkey, _ = join_ops.normalize_keys(list(r_arrs))
+            lj = l_mask if l_mask is not None else jnp.ones(lkey.shape,
+                                                            jnp.bool_)
+            for v in l_valids:
+                if v is not None:
+                    lj = lj & v
+            r_alive = (r_mask if r_mask is not None
+                       else jnp.ones(rkey.shape, jnp.bool_))
+            rj = r_alive
+            for v in r_valids:
+                if v is not None:
+                    rj = rj & v
+
+            rb = join_ops.bucket_of(rkey, s)
+            verify_src = [rkey] if exact else list(r_arrs)
+            payload = (list(r_cols) + list(r_colvalids)
+                       + [r_alive, rj] + verify_src)
+            _, sk_key, _, njb, sp, real_maxdup = \
+                join_ops.build_side_bucketed(rb, rkey, rj, payload)
+            cum, max_bucket = join_ops.bucket_table(rb, rj, s)
+
+            lb = join_ops.bucket_of(lkey, s)
+            start, cntv = gather_columns(
+                [cum[:-1], cum[1:] - cum[:-1]], lb, interpret=interpret)
+            counts = jnp.where(lj, cntv, 0)
+            total = jnp.sum(counts.astype(jnp.int64))
+            stats = jnp.stack([total, max_bucket.astype(jnp.int64),
+                               real_maxdup.astype(jnp.int64)])
+            return start, counts, njb, lj, lkey, sk_key, sp, stats
+        ex._jit_cache[key_c] = phase
+
+    (start, counts, njb, lj, lkey, sk_key, sorted_payload, stats) = phase(
+        [a for a, _ in l_keys], [v for _, v in l_keys], left.mask,
+        [a for a, _ in r_keys], [v for _, v in r_keys], right.mask,
+        [c.arr for c in right.cols], [c.valid for c in right.cols])
+
+    ncr = len(right.cols)
+    sb_arrs = sorted_payload[:ncr]
+    sb_valids = sorted_payload[ncr:2 * ncr]
+    sb_alive = sorted_payload[2 * ncr]
+    sb_joinable = sorted_payload[2 * ncr + 1]
+    sb_verify = sorted_payload[2 * ncr + 2:]
+
+    total, max_bucket, real_maxdup = (int(x) for x in jax.device_get(stats))
+    k_win = next((k for k in (1, 2, 4, 8) if max_bucket <= k), None)
+    vl = [lkey] if exact else [a for a, _ in l_keys]
+
+    build = _BuildSide(sb_arrs, sb_valids, sb_alive, sb_joinable,
+                       sb_verify, njb, sk_key)
+
+    if node.kind in (JoinKind.SEMI, JoinKind.ANTI):
+        return _bucket_semi_anti(ex, node, left, right, start, counts,
+                                 njb, lj, vl, build, k_win, total)
+
+    window_ok = (k_win is not None and real_maxdup <= 1
+                 and node.kind in (JoinKind.INNER, JoinKind.LEFT))
+    if window_ok:
+        if k_win == 1:
+            rt = _unique_path(ex, node, left, right, start, counts,
+                              build, vl)
+        else:
+            rt = _bucket_window_path(ex, node, left, right, start, counts,
+                                     build, vl, k_win)
+    else:
+        rt = _segmented_path(ex, node, left, right, start, counts, build,
+                             lj, lkey, total, vl)
+
+    if node.residual is not None:
+        rt = _apply_residual(ex, rt, node.residual)
+    return rt
+
+
+def _bucket_window_path(ex, node, left, right, start, counts,
+                        build: _BuildSide, vl, k_win: int):
+    """INNER/LEFT, unique real keys, bucket candidates ≤ k_win: fetch the
+    K candidate keys with ONE row gather over K shifted tables, pick the
+    verified match, then gather its payload row. Output row i = probe
+    row i (no expansion)."""
+    from .runtime import RCol, RTable
+    cap = left.capacity
+    key = ("join_w", node.kind.value, k_win, cap, right.capacity,
+           _sig(left), _sig(right), len(build.verify))
+    fn = ex._jit_cache.get(key)
+    if fn is None:
+        kind = node.kind
+        interpret = _interp()
+
+        @jax.jit
+        def fn(l_arrs, l_valids, l_mask, start, counts,
+               sb_arrs, sb_valids, sb_verify, vl_arrs):
+            nb = sb_verify[0].shape[0]
+            pos0 = jnp.clip(start, 0, nb - 1)
+            shifted = join_ops.shifted_window_tables(sb_verify, k_win)
+            cand = gather_columns(shifted, pos0, interpret=interpret)
+            matched = jnp.zeros(counts.shape, jnp.bool_)
+            j_star = jnp.zeros(counts.shape, jnp.int32)
+            for k in range(k_win):
+                ok = counts > k
+                for c in range(len(sb_verify)):
+                    ok = ok & (vl_arrs[c] == cand[c * k_win + k])
+                j_star = jnp.where(~matched & ok, k, j_star)
+                matched = matched | ok
+            pos = jnp.clip(start + j_star, 0, nb - 1)
+            gathered = gather_columns(list(sb_arrs) + list(sb_valids),
+                                      pos, interpret=interpret)
+            ncb = len(sb_arrs)
+            lm = l_mask if l_mask is not None else jnp.ones((cap,),
+                                                            jnp.bool_)
+            build_cols = []
+            for arr, valid in zip(gathered[:ncb], gathered[ncb:]):
+                if kind is JoinKind.LEFT:
+                    valid = matched if valid is None else (valid & matched)
+                build_cols.append((arr, valid))
+            out_mask = lm & matched if kind is JoinKind.INNER else lm
+            left_cols = [(a, v) for a, v in zip(l_arrs, l_valids)]
+            return left_cols, build_cols, out_mask
+        ex._jit_cache[key] = fn
+
+    left_cols, build_cols, out_mask = fn(
+        [c.arr for c in left.cols], [c.valid for c in left.cols], left.mask,
+        start, counts, build.arrs, build.valids, build.verify, vl)
+    cols = [
+        RCol(a, v, c.dtype, c.dictionary)
+        for (a, v), c in zip(left_cols, left.cols)
+    ] + [
+        RCol(a, v, c.dtype, c.dictionary)
+        for (a, v), c in zip(build_cols, right.cols)
+    ]
+    names = [f.name for f in node.schema]
+    return RTable(cols, names, out_mask, cap)
+
+
+def _bucket_semi_anti(ex, node, left, right, start, counts, njb, lj,
+                      vl, build: _BuildSide, k_win, total):
+    """[NOT] IN / [NOT] EXISTS over bucket candidates: per-probe
+    `matched` comes from candidate-key verification — via the shifted
+    window when buckets are small, else via expansion + segment-OR.
+    Null semantics match _semi_anti_path."""
+    from .runtime import RTable
+    is_anti = node.kind is JoinKind.ANTI
+    r_cap = right.capacity
+
+    if k_win is not None:
+        key = ("join_wsa", is_anti, k_win, left.capacity, r_cap,
+               left.mask is not None, right.mask is not None,
+               len(build.verify))
+        fn = ex._jit_cache.get(key)
+        if fn is None:
+            interpret = _interp()
+
+            @jax.jit
+            def fn(l_mask, r_mask, start, counts, sb_verify, vl_arrs, njb,
+                   lj):
+                nb = sb_verify[0].shape[0]
+                pos0 = jnp.clip(start, 0, nb - 1)
+                shifted = join_ops.shifted_window_tables(sb_verify, k_win)
+                cand = gather_columns(shifted, pos0, interpret=interpret)
+                matched = jnp.zeros(counts.shape, jnp.bool_)
+                for k in range(k_win):
+                    ok = counts > k
+                    for c in range(len(sb_verify)):
+                        ok = ok & (vl_arrs[c] == cand[c * k_win + k])
+                    matched = matched | ok
+                return _semi_anti_mask(l_mask, r_mask, matched, njb, lj,
+                                       is_anti, r_cap)
+            ex._jit_cache[key] = fn
+
+        out_mask = fn(left.mask, right.mask, start, counts, build.verify,
+                      vl, njb, lj)
+        return RTable(left.cols, left.names, out_mask, left.capacity)
+
+    # pathological bucket skew: expand candidates, verify, segment-OR
+    inner_cap = pad_count(max(total, 1))
+    key = ("join_esa", is_anti, inner_cap, left.capacity, r_cap,
+           left.mask is not None, right.mask is not None,
+           len(build.verify))
+    fn = ex._jit_cache.get(key)
+    if fn is None:
+        interpret = _interp()
+
+        @jax.jit
+        def fn(l_mask, r_mask, start, counts, sb_verify, vl_arrs, njb, lj):
+            probe_row, build_pos, slot_valid = join_ops.expand_matches(
+                start, counts, inner_cap)
+            nb = sb_verify[0].shape[0]
+            bpos = jnp.clip(build_pos, 0, nb - 1)
+            cand = gather_columns(list(sb_verify), bpos,
+                                  interpret=interpret)
+            lcand = gather_columns(list(vl_arrs), probe_row,
+                                   interpret=interpret)
+            eq = slot_valid
+            for la, ra in zip(lcand, cand):
+                eq = eq & (la == ra)
+            matched = _segment_any(eq, counts, inner_cap)
+            return _semi_anti_mask(l_mask, r_mask, matched, njb, lj,
+                                   is_anti, r_cap)
+        ex._jit_cache[key] = fn
+
+    out_mask = fn(left.mask, right.mask, start, counts, build.verify,
+                  vl, njb, lj)
+    return RTable(left.cols, left.names, out_mask, left.capacity)
+
+
+def _semi_anti_mask(l_mask, r_mask, matched, njb, lj, is_anti, r_cap):
+    """Shared SEMI/ANTI output-mask logic over an exact `matched` flag
+    (three-valued NOT IN semantics; see _semi_anti_path)."""
+    cap_l = matched.shape[0]
+    alive_l = l_mask if l_mask is not None else jnp.ones((cap_l,),
+                                                         jnp.bool_)
+    if not is_anti:
+        return alive_l & lj & matched
+    n_alive_b = (jnp.sum(r_mask.astype(jnp.int32)) if r_mask is not None
+                 else jnp.asarray(r_cap, jnp.int32))
+    any_null_b = n_alive_b > njb
+    empty_build = n_alive_b == 0
+    return jnp.where(empty_build, alive_l,
+                     alive_l & lj & ~matched & ~any_null_b)
+
+
+def _segment_any(eq, counts, inner_cap: int):
+    """Per-probe OR over its contiguous expansion slots [off[i-1], off[i])
+    — two cumsum gathers instead of a per-row reduction."""
+    off = jnp.cumsum(counts.astype(jnp.int64))
+    csum = jnp.cumsum(eq.astype(jnp.int32))
+    hi = csum[jnp.clip(off - 1, 0, inner_cap - 1)]
+    prev = off - counts
+    lo = jnp.where(prev > 0, csum[jnp.clip(prev - 1, 0, inner_cap - 1)], 0)
+    return (jnp.where(counts > 0, hi - lo, 0)) > 0
 
 
 def _pack_keys_with_stats(node, left, right, l_keys, r_keys):
@@ -423,15 +697,26 @@ def _segmented_path(ex, node, left, right, start, counts, build: _BuildSide,
                 cap_l = counts.shape[0]
                 lm = l_mask if l_mask is not None else jnp.ones((cap_l,),
                                                                jnp.bool_)
-                seg_masks.append(lm & (counts == 0))
+                if sb_verify is not None:
+                    # counts are unverified candidates (hash buckets):
+                    # a probe row is unmatched iff NO slot survived
+                    # verification — segment-OR over its slots
+                    unmatched_l = ~_segment_any(slot_valid, counts,
+                                                inner_cap)
+                else:
+                    unmatched_l = counts == 0
+                seg_masks.append(lm & unmatched_l)
                 segments.append((
                     [(a, v) for a, v in l_all],
                     [(jnp.zeros((cap_l,), a.dtype),
                       jnp.zeros((cap_l,), jnp.bool_)) for a, _ in
                      zip(sb_arrs, sb_valids)]))
             if want_build_seg:
-                unmatched_j = join_ops.unmatched_build_mask_sorted(
-                    sk, njb, lkey, lj)
+                # unmatched build rows from the surviving slots (one
+                # scatter; the searchsorted alternative is ~40× slower)
+                matched_b = jnp.zeros((nb,), jnp.bool_).at[
+                    jnp.where(slot_valid, bpos, nb)].set(True, mode="drop")
+                unmatched_j = (jnp.arange(nb) < njb) & ~matched_b
                 # joinable build rows never hit + alive-but-null-keyed rows
                 seg_masks.append(unmatched_j | (sb_alive & ~sb_joinable))
                 segments.append((

@@ -50,13 +50,16 @@ def _rebuild(planes: list, dt):
     return planes[0].astype(dt)
 
 
-def gather_columns(arrays: list, idx: jax.Array, interpret: bool = False):
+def gather_columns(arrays: list, idx: jax.Array, interpret=None):
     """out[c][i] = arrays[c][idx[i]] — all columns in one pass.
 
     arrays: 1-D device columns of equal length B (None entries pass
     through as None). idx: (N,) integer indices already clamped to
-    [0, B). Works under jit.
+    [0, B). Works under jit. interpret=None auto-selects Pallas
+    interpret mode off-TPU (CPU test meshes).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     live = [a for a in arrays if a is not None]
     if not live:
         return list(arrays)

@@ -98,7 +98,12 @@ def _gather_planes(idx2d, tab_planes, interpret=False):
     ri = idx2d.shape[0]
     rt = tab_planes[0].shape[0]
     nplanes = len(tab_planes)
-    ti = next(t for t in (_TILE, 128, 64, 32, 16, 8) if ri % t == 0)
+    # tile VMEM: accumulators + double-buffered outputs + idx ≈
+    # (2·nplanes + 2) · ti·128·4 bytes — budget ~4 MB on top of the
+    # resident table planes
+    budget_rows = (4 << 20) // ((2 * nplanes + 2) * _LANE * 4)
+    ti = next((t for t in (_TILE, 128, 64, 32, 16, 8)
+               if t <= budget_rows and ri % t == 0), 8)
     nb = ri // ti
 
     kern = functools.partial(_kernel, ti=ti, npages=rt // _PAGE,

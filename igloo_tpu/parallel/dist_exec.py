@@ -39,6 +39,7 @@ from ..sql.ast import JoinKind
 from ..plan import logical as L
 from ..table import pad_count
 from ..ops import join_ops
+from ..ops.gather_ops import gather_columns
 from ..ops.aggregate import AggInput, grouped_aggregate
 from ..ops.sort_ops import sort_with_payload
 from ..exec.expr import EvalCtx, ExprPrep, VV, eval_expr, merge_dicts
@@ -1200,6 +1201,7 @@ class DistFragment:
     def _local_join(self, node, lt: STable, l_keys, rt: STable, r_keys,
                     direct=None):
         kind = node.kind
+        interpret = jax.default_backend() != "tpu"
         lkey, exact = join_ops.normalize_keys([a for a, _ in l_keys])
         rkey, _ = join_ops.normalize_keys([a for a, _ in r_keys])
         lj = lt.alive
@@ -1211,56 +1213,99 @@ class DistFragment:
             if v is not None:
                 rj = rj & v
 
+        # without a dense key range the probe goes through a hash-bucket
+        # table (scatter histogram over (dead,bucket,key)-sorted rows +
+        # one packed gather per probe row) — searchsorted runs at ~5M
+        # rows/s on TPU, buckets two orders of magnitude faster. Bucket
+        # candidates verify against the actual key (collisions share
+        # buckets), so results stay exact for any key type.
+        bucket = direct is None
+        nb = rt.cap
+
         # co-sort build payload (columns + flags + verify keys) with keys
-        payload = [c.arr for c in rt.cols] + [c.valid for c in rt.cols]             + [rt.alive, rj]
-        if not exact:
-            payload += [a for a, _ in r_keys]
-        sk, perm_b, njb, sp = join_ops.build_side(rkey, rj, payload)
+        payload = [c.arr for c in rt.cols] + [c.valid for c in rt.cols] \
+            + [rt.alive, rj]
+        if bucket:
+            payload += [rkey] if exact else [a for a, _ in r_keys]
+            payload += [join_ops.fingerprint_of(rkey)]
+            s = 1 << max(10, min(26, (4 * nb - 1).bit_length()))
+            rb = join_ops.bucket_of(rkey, s)
+            _, sk, _, njb, sp, real_maxdup = join_ops.build_side_bucketed(
+                rb, rkey, rj, payload)
+            cum, max_bucket = join_ops.bucket_table(rb, rj, s)
+            lb = join_ops.bucket_of(lkey, s)
+            start, cntv = gather_columns(
+                [cum[:-1], cum[1:] - cum[:-1]], lb, interpret=interpret)
+            counts = jnp.where(lj, cntv, 0)
+        else:
+            sk, perm_b, njb, sp = join_ops.build_side(rkey, rj, payload)
         ncr = len(rt.cols)
         sb_arrs = sp[:ncr]
         sb_valids = sp[ncr:2 * ncr]
         sb_alive, sb_joinable = sp[2 * ncr], sp[2 * ncr + 1]
-        sb_verify = sp[2 * ncr + 2:] if not exact else None
+        sb_verify = sp[2 * ncr + 2:-1] if bucket else None
+        sb_fp = sp[-1] if bucket else None
+        verify_l = None if not bucket else (
+            [lkey] if exact else [a for a, _ in l_keys])
 
-        if direct is not None:
+        if not bucket:
             lo, span = direct
             roff = jnp.clip(rkey - lo, 0, span - 1).astype(jnp.int32)
             cnt = jnp.zeros((span + 1,), jnp.int32).at[roff + 1].add(
                 rj.astype(jnp.int32), mode="drop")
             cum = jnp.cumsum(cnt)
-            packed = ((cum[:-1].astype(jnp.int64) << 32)
-                      | (cum[1:] - cum[:-1]).astype(jnp.int64))
             loff = lkey.astype(jnp.int64) - lo
             in_range = (loff >= 0) & (loff < span) & lj
             lc = jnp.clip(loff, 0, span - 1).astype(jnp.int32)
-            hit = packed[lc]
-            start = (hit >> 32).astype(jnp.int32)
-            counts = jnp.where(in_range,
-                               (hit & 0xFFFFFFFF).astype(jnp.int32), 0)
-        else:
-            start, counts = join_ops.probe_counts(sk, njb, lkey, lj)
+            start, cntv = gather_columns(
+                [cum[:-1], cum[1:] - cum[:-1]], lc, interpret=interpret)
+            counts = jnp.where(in_range, cntv, 0)
 
         unique_mode = (not self.join_expand
                        and kind in (JoinKind.INNER, JoinKind.LEFT)
                        and node.residual is None and exact)
-        nb = rt.cap
         if unique_mode:
             # optimistic unique-build join: output row i = probe row i, no
-            # expansion (and no searchsorted over match offsets). A build
-            # side with duplicate keys trips the overflow flag and the
-            # host retries with the expansion variant.
-            self._overflow_flags.append(jnp.max(counts) > 1)
+            # expansion (and no searchsorted over match offsets). Build
+            # duplicates — or bucket skew past the candidate window —
+            # trip the overflow flag; the host retries with expansion.
             inner_cap = lt.cap
             # probe_row is the identity here — None elides the gather
             # (an explicit arange index array materializes 64MB of
             # indices and defeats XLA's fast gather emitter)
             probe_row = None
-            build_pos = jnp.clip(start, 0, nb - 1)
-            slot_valid = counts > 0
+            total = jnp.sum(counts.astype(jnp.int64))
+            if bucket:
+                # candidate window over 32-bit key FINGERPRINTS: one
+                # int32 plane regardless of key width. A fingerprint
+                # collision inside a window is detected as ambiguity →
+                # expansion retry; the selected candidate is confirmed
+                # against the full key below, so results stay exact.
+                k_win = 8
+                lfp = join_ops.fingerprint_of(lkey)
+                pos0 = jnp.clip(start, 0, nb - 1)
+                shifted = join_ops.shifted_window_tables([sb_fp], k_win)
+                cand = gather_columns(shifted, pos0, interpret=interpret)
+                matched = jnp.zeros(counts.shape, jnp.bool_)
+                j_star = jnp.zeros(counts.shape, jnp.int32)
+                nmatch = jnp.zeros(counts.shape, jnp.int32)
+                for k in range(k_win):
+                    ok = (counts > k) & (lfp == cand[k])
+                    j_star = jnp.where(~matched & ok, k, j_star)
+                    matched = matched | ok
+                    nmatch = nmatch + ok.astype(jnp.int32)
+                ambiguous = jnp.any(nmatch > 1)
+                self._overflow_flags.append((real_maxdup > 1)
+                                            | (max_bucket > k_win)
+                                            | ambiguous)
+                bpos = jnp.clip(start + j_star, 0, nb - 1)
+                slot_valid = matched
+            else:
+                self._overflow_flags.append(jnp.max(counts) > 1)
+                bpos = jnp.clip(start, 0, nb - 1)
+                slot_valid = counts > 0
             if lt.alive is not None:
                 slot_valid = slot_valid & lt.alive
-            total = jnp.sum(counts.astype(jnp.int64))
-            bpos = build_pos
         else:
             # matches can exceed either side alone (duplicates); size by
             # the larger side, scaled by the (overflow-retried) factor
@@ -1270,28 +1315,39 @@ class DistFragment:
             total = jnp.sum(counts.astype(jnp.int64))
             self._overflow_flags.append(total > inner_cap)
             bpos = jnp.clip(build_pos, 0, nb - 1)
-        if not exact:
-            ok = None
-            for (la, _), ra in zip(l_keys, sb_verify):
-                lv = la if probe_row is None else la[probe_row]
-                eq = lv == ra[bpos]
-                ok = eq if ok is None else (ok & eq)
-            slot_valid = slot_valid & ok
 
         segments = []
 
-        def gather_l(idx):
+        def gather_l(idx, extra=()):
             if idx is None:          # identity: output row i IS probe row i
-                return [(c.arr, c.valid) for c in lt.cols]
-            return [(c.arr[idx], None if c.valid is None else c.valid[idx])
-                    for c in lt.cols]
+                return [(c.arr, c.valid) for c in lt.cols], list(extra)
+            cols = [c.arr for c in lt.cols] + [c.valid for c in lt.cols] \
+                + list(extra)
+            g = gather_columns(cols, idx, interpret=interpret)
+            ncl_ = len(lt.cols)
+            return list(zip(g[:ncl_], g[ncl_:2 * ncl_])), g[2 * ncl_:]
 
-        def gather_b(idx):
-            return [(a[idx], None if v is None else v[idx])
-                    for a, v in zip(sb_arrs, sb_valids)]
+        def gather_b(idx, extra=()):
+            cols = list(sb_arrs) + list(sb_valids) + list(extra)
+            g = gather_columns(cols, idx, interpret=interpret)
+            ncb_ = len(sb_arrs)
+            return list(zip(g[:ncb_], g[ncb_:2 * ncb_])), g[2 * ncb_:]
 
-        exp_l = gather_l(probe_row)
-        exp_b = gather_b(bpos)
+        # bucket candidates verify against the full key; the verify keys
+        # ride the same packed row gathers as the output columns
+        # (expansion mode: per slot; unique window: confirms the
+        # fingerprint-selected candidate)
+        need_slot_verify = bucket and not unique_mode
+        exp_l, ver_l_g = gather_l(probe_row,
+                                  verify_l if need_slot_verify else ())
+        exp_b, ver_b_g = gather_b(bpos, sb_verify if bucket else ())
+        if bucket:
+            ok = None
+            for la, ra in zip(ver_l_g if need_slot_verify else verify_l,
+                              ver_b_g):
+                eq = la == ra
+                ok = eq if ok is None else (ok & eq)
+            slot_valid = slot_valid & ok
 
         if node.residual is not None:
             # residual participates in MATCH semantics: a key-matching
@@ -1312,7 +1368,8 @@ class DistFragment:
 
         if kind in (JoinKind.LEFT, JoinKind.FULL):
             if unique_mode:
-                surviving = counts
+                surviving = (slot_valid.astype(jnp.int32) if bucket
+                             else counts)
             else:
                 # surviving matches per probe row: probe i's expansion
                 # slots are [off[i-1], off[i]) (off = cumsum of counts),
@@ -1331,13 +1388,11 @@ class DistFragment:
                 [(jnp.zeros((lt.cap,), c.arr.dtype),
                   jnp.zeros((lt.cap,), jnp.bool_)) for c in rt.cols]))
         if kind in (JoinKind.RIGHT, JoinKind.FULL):
-            if node.residual is not None:
-                matched_b = jnp.zeros((nb,), jnp.bool_).at[
-                    jnp.where(slot_valid, bpos, nb)].set(True, mode="drop")
-                unmatched_j = (jnp.arange(nb) < njb) & ~matched_b
-            else:
-                unmatched_j = join_ops.unmatched_build_mask_sorted(
-                    sk, njb, lkey, lj)
+            # unmatched build rows from the surviving slots (one scatter;
+            # the sorted-key searchsorted alternative is ~40× slower)
+            matched_b = jnp.zeros((nb,), jnp.bool_).at[
+                jnp.where(slot_valid, bpos, nb)].set(True, mode="drop")
+            unmatched_j = (jnp.arange(nb) < njb) & ~matched_b
             seg_masks.append(unmatched_j | (sb_alive & ~sb_joinable))
             segments.append((
                 [(jnp.zeros((rt.cap,), c.arr.dtype),
