@@ -42,7 +42,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK = 1024         # rows per grid step (8 sublanes × 128 lanes)
+_BLOCK = 1024         # rows per one-hot dot (8 sublanes × 128 lanes)
+_SUB = 8              # one-hot dots per grid step (amortizes step cost)
+_STEP = _BLOCK * _SUB # rows per grid step
 _LANE = 128
 _DIGITS = 3           # base-256 digits per value column (|v| < 2^23)
 
@@ -60,29 +62,31 @@ def _kernel(slot_ref, contrib_ref, hi_ref, lo_ref, *, g_pad: int,
         hi_ref[...] = jnp.zeros_like(hi_ref)
         lo_ref[...] = jnp.zeros_like(lo_ref)
 
-    slots = slot_ref[...].reshape(1, _BLOCK)                # lanes-B
-    gids = jax.lax.broadcasted_iota(jnp.int32, (g_pad, _BLOCK), 0)
-    onehot = (gids == slots).astype(jnp.float32)            # (G, B)
-    contrib = contrib_ref[...]                              # (A, B) raw values
-    sign = jnp.sign(contrib)
-    mag = jnp.abs(contrib)
+    rows = _BLOCK // _LANE
+    for b in range(_SUB):
+        slots = slot_ref[b * rows:(b + 1) * rows, :].reshape(1, _BLOCK)
+        gids = jax.lax.broadcasted_iota(jnp.int32, (g_pad, _BLOCK), 0)
+        onehot = (gids == slots).astype(jnp.float32)        # (G, B)
+        contrib = contrib_ref[:, b * _BLOCK:(b + 1) * _BLOCK]
+        sign = jnp.sign(contrib)
+        mag = jnp.abs(contrib)
 
-    # one dot per base-256 digit plane: same FLOPs as a single packed dot,
-    # but digits are computed in VMEM (no (A·D, n) HBM temp) and the
-    # accumulator uses static column blocks
-    for d in range(_DIGITS):
-        digit = jnp.floor(mag * (1.0 / (256.0 ** d))) % 256.0
-        plane = sign * digit                                # (A, B)
-        partial = jax.lax.dot_general(
-            onehot, plane,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (G, A)
-        # carry-split exact accumulation (see module docstring)
-        lo = lo_ref[:, d * n_aggs:(d + 1) * n_aggs] + partial
-        carry = jnp.floor(lo * (1.0 / 4096.0))
-        lo_ref[:, d * n_aggs:(d + 1) * n_aggs] = lo - carry * 4096.0
-        hi_ref[:, d * n_aggs:(d + 1) * n_aggs] = \
-            hi_ref[:, d * n_aggs:(d + 1) * n_aggs] + carry
+        # one dot per base-256 digit plane: same FLOPs as a single packed
+        # dot, but digits are computed in VMEM (no (A·D, n) HBM temp) and
+        # the accumulator uses static column blocks
+        for d in range(_DIGITS):
+            digit = jnp.floor(mag * (1.0 / (256.0 ** d))) % 256.0
+            plane = sign * digit                            # (A, B)
+            partial = jax.lax.dot_general(
+                onehot, plane,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (G, A)
+            # carry-split exact accumulation (see module docstring)
+            lo = lo_ref[:, d * n_aggs:(d + 1) * n_aggs] + partial
+            carry = jnp.floor(lo * (1.0 / 4096.0))
+            lo_ref[:, d * n_aggs:(d + 1) * n_aggs] = lo - carry * 4096.0
+            hi_ref[:, d * n_aggs:(d + 1) * n_aggs] = \
+                hi_ref[:, d * n_aggs:(d + 1) * n_aggs] + carry
 
 
 @functools.partial(jax.jit, static_argnames=("g_pad", "interpret"))
@@ -94,11 +98,11 @@ def groupby_onehot_sums(slots: jax.Array, contribs: jax.Array,
     Returns (g_pad, A) f64 per-group sums (exact, see module docstring).
     """
     n, a = contribs.shape
-    n_pad = _pad(n, _BLOCK)
+    n_pad = _pad(n, _STEP)
     if n_pad != n:
         slots = jnp.pad(slots, (0, n_pad - n), constant_values=g_pad)
         contribs = jnp.pad(contribs, ((0, n_pad - n), (0, 0)))
-    nb = n_pad // _BLOCK
+    nb = n_pad // _STEP
     slots2 = slots.reshape(n_pad // _LANE, _LANE)
     contrib_mat = contribs.T                                # (A, n_pad)
 
@@ -118,10 +122,10 @@ def groupby_onehot_sums(slots: jax.Array, contribs: jax.Array,
 
 
 def _call(kern, slots2, contrib_mat, g_pad, a, nb, interpret):
-    rows_per_block = _BLOCK // _LANE
+    rows_per_block = _STEP // _LANE
     slot_block = pl.BlockSpec((rows_per_block, _LANE), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
-    contrib_block = pl.BlockSpec((a, _BLOCK), lambda i: (0, i),
+    contrib_block = pl.BlockSpec((a, _STEP), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
     acc_block = pl.BlockSpec((g_pad, a * _DIGITS), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
