@@ -209,8 +209,14 @@ class DistFragment:
             in_arrays, aux_arrays)
 
         # ONE host round trip for both scalars — the dev tunnel costs
-        # ~25 ms per device_get, so never pull them separately
-        ovf_host, counts_host = jax.device_get((overflow, out_counts))
+        # ~25 ms per device_get, so never pull them separately.
+        # (multi-process slices: counts shard across processes — gather)
+        if getattr(out_counts, "is_fully_addressable", True):
+            ovf_host, counts_host = jax.device_get((overflow, out_counts))
+        else:
+            from .mesh import global_get
+            ovf_host = jax.device_get(overflow)
+            counts_host = global_get(out_counts)
         if bool(ovf_host):
             raise _OverflowRetry()
 

@@ -35,3 +35,18 @@ def row_sharding(mesh: Mesh, axis: str = "d") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
+
+
+def global_get(x) -> np.ndarray:
+    """Host numpy of a possibly process-spanning global array.
+
+    Single-process meshes (and replicated outputs) are fully addressable
+    — a plain device_get. Arrays sharded across OTHER processes of a
+    multi-host slice need a process_allgather collective first (the
+    multi-host analog of the reference coordinator's result collection,
+    /root/reference/crates/coordinator/src/distributed_executor.rs:73-104).
+    """
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

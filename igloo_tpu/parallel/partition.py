@@ -25,7 +25,7 @@ import numpy as np
 
 from ..table import PAD, Column, DeviceTable, pad_count
 from ..dtypes import SqlType
-from .mesh import row_sharding
+from .mesh import global_get, row_sharding
 
 
 def _mix64_np(x: np.ndarray) -> np.ndarray:
@@ -156,18 +156,17 @@ class PartitionedTable:
             }
             return DeviceTable(columns, total)
         counts = (self.counts_host if self.counts_host is not None
-                  else np.asarray(jax.device_get(self.counts)))
+                  else global_get(self.counts))
         P = len(counts)
         total = int(counts.sum())
         cap = pad_count(max(total, 1))
         columns = {}
         for name, c in self.cols.items():
-            data = np.asarray(jax.device_get(c.data))
+            data = global_get(c.data)
             out = np.zeros((cap,), dtype=data.dtype)
             pos = 0
             vout = None
-            vdata = (np.asarray(jax.device_get(c.valid))
-                     if c.valid is not None else None)
+            vdata = global_get(c.valid) if c.valid is not None else None
             if vdata is not None:
                 vout = np.zeros((cap,), dtype=np.bool_)
             for p in range(P):
