@@ -78,6 +78,28 @@ def _registry_builtin() -> dict[str, ScalarFunction]:
     unary_math("sign", jnp.sign, ret=_same_ret)
     unary_math("floor", jnp.floor)
     unary_math("ceil", jnp.ceil)
+    unary_math("sinh", jnp.sinh)
+    unary_math("cosh", jnp.cosh)
+    unary_math("tanh", jnp.tanh)
+    unary_math("cbrt", jnp.cbrt)
+    unary_math("degrees", jnp.degrees)
+    unary_math("radians", jnp.radians)
+
+    add(ScalarFunction(
+        "atan2", "numeric",
+        ret_type=lambda a: (_num(a[0], "atan2"), SqlType.FLOAT64)[1],
+        device_fn=lambda args: jnp.arctan2(
+            args[0].astype(jnp.float64), args[1].astype(jnp.float64)),
+        min_args=2, max_args=2,
+    ))
+    add(ScalarFunction(
+        "trunc", "numeric",
+        ret_type=lambda a: (_num(a[0], "trunc"), SqlType.FLOAT64)[1],
+        device_fn=lambda args: (
+            jnp.trunc(args[0]) if len(args) == 1
+            else jnp.trunc(args[0] * 10.0 ** args[1]) / 10.0 ** args[1]),
+        min_args=1, max_args=2,
+    ))
 
     add(ScalarFunction(
         "round", "numeric",
@@ -200,6 +222,21 @@ def _registry_builtin() -> dict[str, ScalarFunction]:
 
     temporal_fn("dow", _dow)
 
+    def _isodow(args):
+        # 1 = Monday .. 7 = Sunday (ISO 8601)
+        days, _ = _to_days_and_tod(args[0])
+        return (days + 3) % 7 + 1
+
+    temporal_fn("isodow", _isodow)
+
+    def _epoch(args):
+        a = args[0]
+        if a.dtype == jnp.int64:                # timestamp µs
+            return jnp.floor_divide(a, 1_000_000)
+        return a.astype(jnp.int64) * 86_400     # date days → seconds
+
+    temporal_fn("epoch", _epoch)
+
     def _doy(args):
         days, _ = _to_days_and_tod(args[0])
         y, _m, _d = civil_from_days(days)
@@ -217,6 +254,67 @@ def _registry_builtin() -> dict[str, ScalarFunction]:
         doe = yoe * 365 + jnp.floor_divide(yoe, 4) \
             - jnp.floor_divide(yoe, 100) + doy
         return era * 146097 + doe - 719468
+
+    def _is_leap(y):
+        return (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
+
+    def _weeks_in(y):
+        jan1 = days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
+        dow1 = (jan1 + 3) % 7 + 1               # isodow of Jan 1
+        return 52 + ((dow1 == 4) | (_is_leap(y) & (dow1 == 3))).astype(
+            jnp.int64)
+
+    def _isoweek(args):
+        # ISO 8601 week number (Postgres EXTRACT(WEEK))
+        days, _ = _to_days_and_tod(args[0])
+        y, _m, _d = civil_from_days(days)
+        doy = days - days_from_civil(y, jnp.ones_like(y),
+                                     jnp.ones_like(y)) + 1
+        isodow = (days + 3) % 7 + 1
+        w = jnp.floor_divide(doy - isodow + 10, 7)
+        return jnp.where(w < 1, _weeks_in(y - 1),
+                         jnp.where(w > _weeks_in(y), 1, w))
+
+    temporal_fn("week", _isoweek)
+
+    # ---- date_trunc family: truncate preserving the input's type ----
+    def temporal_same(name, impl):
+        def rt(arg_types, n=name):
+            if not arg_types[0].is_temporal:
+                raise BindError(f"{n}() expects a DATE or TIMESTAMP")
+            return arg_types[0]
+        add(ScalarFunction(name, "numeric", ret_type=rt, device_fn=impl))
+
+    def _trunc_unit(unit):
+        def impl(args):
+            a = args[0]
+            is_ts = a.dtype == jnp.int64
+            days, _tod = _to_days_and_tod(a)
+            if unit in ("hour", "minute", "second"):
+                if not is_ts:
+                    return a
+                div = {"hour": 3_600_000_000, "minute": 60_000_000,
+                       "second": 1_000_000}[unit]
+                return jnp.floor_divide(a, div) * div
+            y, m, _d = civil_from_days(days)
+            one = jnp.ones_like(y)
+            if unit == "year":
+                nd = days_from_civil(y, one, one)
+            elif unit == "quarter":
+                nm = (jnp.floor_divide(m - 1, 3)) * 3 + 1
+                nd = days_from_civil(y, nm, one)
+            elif unit == "month":
+                nd = days_from_civil(y, m, one)
+            elif unit == "week":
+                nd = days - (days + 3) % 7       # back to Monday
+            else:                                # day
+                nd = days
+            return nd * 86_400_000_000 if is_ts else nd.astype(a.dtype)
+        return impl
+
+    for _u in ("year", "quarter", "month", "week", "day",
+               "hour", "minute", "second"):
+        temporal_same(f"date_trunc_{_u}", _trunc_unit(_u))
 
     def _interval_shift(args):
         base, months, days, us = args
@@ -293,6 +391,35 @@ def _registry_builtin() -> dict[str, ScalarFunction]:
         min_args=2, max_args=3,
     ))
 
+    add(ScalarFunction(
+        "split_part", "string",
+        ret_type=lambda a: _expect_str(a[0], "split_part", SqlType.STRING),
+        host_fn=_split_part, min_args=3, max_args=3,
+    ))
+    add(ScalarFunction(
+        "left", "string",
+        ret_type=lambda a: _expect_str(a[0], "left", SqlType.STRING),
+        host_fn=lambda s, n: s[:int(n)] if int(n) >= 0 else s[:len(s) + int(n)],
+        min_args=2, max_args=2,
+    ))
+    add(ScalarFunction(
+        "right", "string",
+        ret_type=lambda a: _expect_str(a[0], "right", SqlType.STRING),
+        host_fn=lambda s, n: (s[-int(n):] if int(n) > 0
+                              else s[-int(n):] if int(n) < 0 else ""),
+        min_args=2, max_args=2,
+    ))
+    add(ScalarFunction(
+        "repeat", "string",
+        ret_type=lambda a: _expect_str(a[0], "repeat", SqlType.STRING),
+        host_fn=lambda s, n: s * max(int(n), 0), min_args=2, max_args=2,
+    ))
+    add(ScalarFunction(
+        "translate", "string",
+        ret_type=lambda a: _expect_str(a[0], "translate", SqlType.STRING),
+        host_fn=_translate, min_args=3, max_args=3,
+    ))
+
     # ---- string → scalar ----
     add(ScalarFunction(
         "length", "string_to_scalar",
@@ -310,6 +437,38 @@ def _registry_builtin() -> dict[str, ScalarFunction]:
         "ends_with", "string_to_scalar",
         ret_type=lambda a: _expect_str(a[0], "ends_with", SqlType.BOOL),
         host_fn=lambda s, p: s.endswith(p), min_args=2, max_args=2,
+    ))
+    add(ScalarFunction(
+        "strpos", "string_to_scalar",
+        ret_type=lambda a: _expect_str(a[0], "strpos", SqlType.INT64),
+        host_fn=lambda s, sub: s.find(sub) + 1, min_args=2, max_args=2,
+    ))
+    reg["instr"] = dataclasses.replace(reg["strpos"], name="instr")
+    add(ScalarFunction(
+        "ascii", "string_to_scalar",
+        ret_type=lambda a: _expect_str(a[0], "ascii", SqlType.INT64),
+        host_fn=lambda s: ord(s[0]) if s else 0,
+    ))
+    add(ScalarFunction(
+        "regexp_like", "string_to_scalar",
+        ret_type=lambda a: _expect_str(a[0], "regexp_like", SqlType.BOOL),
+        host_fn=lambda s, pat: _re(pat).search(s) is not None,
+        min_args=2, max_args=2,
+    ))
+    reg["regexp_matches"] = dataclasses.replace(reg["regexp_like"],
+                                                name="regexp_matches")
+    add(ScalarFunction(
+        "regexp_replace", "string",
+        ret_type=lambda a: _expect_str(a[0], "regexp_replace",
+                                       SqlType.STRING),
+        host_fn=lambda s, pat, rep: _re(pat).sub(_pg_sub(rep), s),
+        min_args=3, max_args=3,
+    ))
+    add(ScalarFunction(
+        "regexp_extract", "string",
+        ret_type=lambda a: _expect_str(a[0], "regexp_extract",
+                                       SqlType.STRING),
+        host_fn=_regexp_extract, min_args=2, max_args=3,
     ))
     return reg
 
@@ -331,6 +490,53 @@ def _reduce(op, args):
 def _sql_mod(a, b):
     safe = jnp.where(b == 0, 1, b)
     return jnp.where(b == 0, 0, a - (a // safe).astype(a.dtype) * safe)
+
+
+_RE_CACHE: dict = {}
+
+
+def _re(pat: str):
+    import re
+    r = _RE_CACHE.get(pat)
+    if r is None:
+        r = _RE_CACHE[pat] = re.compile(pat)
+    return r
+
+
+def _pg_sub(rep: str) -> str:
+    r"""Postgres \1 group references → Python re \1 (they coincide);
+    escape lone backslashes that aren't group refs."""
+    return rep
+
+
+def _regexp_extract(s: str, pat: str, group=0):
+    m = _re(pat).search(s)
+    if m is None:
+        return ""
+    g = int(group)
+    try:
+        return m.group(g) or ""
+    except IndexError:
+        return ""
+
+
+def _split_part(s: str, delim: str, n) -> str:
+    if delim == "":
+        return ""
+    parts = s.split(delim)
+    i = int(n)
+    if i > 0:
+        return parts[i - 1] if i <= len(parts) else ""
+    if i < 0:
+        return parts[i] if -i <= len(parts) else ""
+    return ""
+
+
+def _translate(s: str, src: str, dst: str) -> str:
+    table = {}
+    for i, ch in enumerate(src):
+        table[ord(ch)] = dst[i] if i < len(dst) else None
+    return s.translate(table)
 
 
 def _substr(s: str, start, length=None):

@@ -117,7 +117,8 @@ class Binder:
         elif node.kind in (ast.SetOpKind.INTERSECT, ast.SetOpKind.EXCEPT):
             plan = self._bind_intersect_except(left, right, schema, node.kind)
         else:
-            raise NotSupportedError(f"{node.kind.value} not supported yet")
+            plan = self._bind_intersect_except_all(left, right, schema,
+                                                   node.kind)
         if node.order_by:
             scope = Scope(list(schema))
             keys = tuple(self._bind_order_item(o, scope, None) for o in node.order_by)
@@ -742,6 +743,72 @@ class Binder:
         out_exprs = tuple(
             BColumn(f.dtype, f.nullable, i, f.name)
             for i, f in enumerate(schema))
+        return Projection(plan, out_exprs, tuple(schema))
+
+    def _bind_intersect_except_all(self, left: LogicalPlan,
+                                   right: LogicalPlan, schema,
+                                   kind) -> LogicalPlan:
+        """INTERSECT ALL / EXCEPT ALL — bag semantics via windowed
+        multiplicities over the side-tagged union:
+
+        per key (= every column, NULL-equating like GROUP BY):
+          lcnt = Σ side, rcnt = count(*) − lcnt, and per-side duplicate
+          rank rn (row_number partitioned by key AND side). Left rows
+          with rn ≤ rcnt give min(l, r) copies (INTERSECT ALL); rows
+          with rn > rcnt give max(l − r, 0) copies (EXCEPT ALL).
+        """
+        def tagged(plan: LogicalPlan, tag: int) -> LogicalPlan:
+            exprs = []
+            for i, (f, sf) in enumerate(zip(schema, plan.schema)):
+                e = BColumn(sf.dtype, sf.nullable, i, f.name)
+                if sf.dtype != f.dtype:
+                    e = BCast(f.dtype, sf.nullable, e, False)
+                exprs.append(e)
+            exprs.append(BLiteral(SqlType.INT64, False, tag))
+            out = tuple(Field(f.name, f.dtype, sf.nullable)
+                        for f, sf in zip(schema, plan.schema)) \
+                + (Field("__side", SqlType.INT64, False),)
+            return Projection(plan, tuple(exprs), out)
+
+        u_schema = tuple(schema) + (Field("__side", SqlType.INT64, False),)
+        u = Union((tagged(left, 1), tagged(right, 0)), u_schema, all=True)
+
+        ncols = len(schema)
+        key_cols = tuple(BColumn(f.dtype, f.nullable, i, f.name)
+                         for i, f in enumerate(u_schema[:ncols]))
+        side = BColumn(SqlType.INT64, False, ncols, "__side")
+
+        # W1 over (key): lcnt = sum(side), total = count(*)
+        w1_schema = u_schema + (Field("__lcnt", SqlType.INT64, True),
+                                Field("__total", SqlType.INT64, False))
+        w1 = Window(u, key_cols, (), (
+            WindowFuncSpec("sum", side, 0, "__lcnt", SqlType.INT64, True),
+            WindowFuncSpec("count_star", None, 0, "__total",
+                           SqlType.INT64, False),
+        ), w1_schema)
+
+        # W2 over (key, side): per-side duplicate rank
+        w2_keys = key_cols + (side,)
+        w2_schema = w1_schema + (Field("__rn", SqlType.INT64, False),)
+        w2 = Window(w1, w2_keys, (), (
+            WindowFuncSpec("row_number", None, 0, "__rn",
+                           SqlType.INT64, False),
+        ), w2_schema)
+
+        lcnt = BColumn(SqlType.INT64, True, ncols + 1, "__lcnt")
+        total = BColumn(SqlType.INT64, False, ncols + 2, "__total")
+        rn = BColumn(SqlType.INT64, False, ncols + 3, "__rn")
+        one = BLiteral(SqlType.INT64, False, 1)
+        rcnt = BBinary(SqlType.INT64, True, ast.BinOp.SUB, total, lcnt)
+        is_left = BBinary(SqlType.BOOL, False, ast.BinOp.EQ, side, one)
+        if kind is ast.SetOpKind.INTERSECT_ALL:
+            keep = BBinary(SqlType.BOOL, True, ast.BinOp.LTE, rn, rcnt)
+        else:  # EXCEPT_ALL
+            keep = BBinary(SqlType.BOOL, True, ast.BinOp.GT, rn, rcnt)
+        cond = BBinary(SqlType.BOOL, True, ast.BinOp.AND, is_left, keep)
+        plan = Filter(w2, cond)
+        out_exprs = tuple(BColumn(f.dtype, f.nullable, i, f.name)
+                          for i, f in enumerate(schema))
         return Projection(plan, out_exprs, tuple(schema))
 
     def _try_subquery_conjunct(self, e: ast.Expr):

@@ -248,7 +248,9 @@ class SetOpKind(enum.Enum):
     UNION = "UNION"
     UNION_ALL = "UNION ALL"
     INTERSECT = "INTERSECT"
+    INTERSECT_ALL = "INTERSECT ALL"
     EXCEPT = "EXCEPT"
+    EXCEPT_ALL = "EXCEPT ALL"
 
 
 @dataclasses.dataclass(frozen=True)

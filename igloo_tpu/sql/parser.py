@@ -131,11 +131,25 @@ class Parser:
             self.next()
             self.expect_kw("by")
             order_by = tuple(self.parse_order_items())
+        # LIMIT/OFFSET in either order, plus the standard
+        # OFFSET n ROWS / FETCH {FIRST|NEXT} n ROWS ONLY spellings
         limit = offset = None
-        if self.accept_kw("limit"):
-            limit = self.parse_int_literal()
-        if self.accept_kw("offset"):
-            offset = self.parse_int_literal()
+        while True:
+            if limit is None and self.accept_kw("limit"):
+                limit = self.parse_int_literal()
+            elif offset is None and self.accept_kw("offset"):
+                offset = self.parse_int_literal()
+                self._accept_word("row") or self._accept_word("rows")
+            elif limit is None and self._accept_word("fetch"):
+                if not (self._accept_word("first")
+                        or self._accept_word("next")):
+                    self.err("expected FIRST or NEXT after FETCH")
+                limit = (self.parse_int_literal()
+                         if self.peek().kind is Tok.NUMBER else 1)
+                self._accept_word("row") or self._accept_word("rows")
+                self._expect_word("only")
+            else:
+                break
 
         if isinstance(node, ast.Select):
             if order_by or limit is not None or offset is not None or ctes:
@@ -167,9 +181,11 @@ class Parser:
             if kw == "union":
                 kind = ast.SetOpKind.UNION_ALL if self.accept_kw("all") else ast.SetOpKind.UNION
             elif kw == "intersect":
-                kind = ast.SetOpKind.INTERSECT
+                kind = (ast.SetOpKind.INTERSECT_ALL if self.accept_kw("all")
+                        else ast.SetOpKind.INTERSECT)
             else:
-                kind = ast.SetOpKind.EXCEPT
+                kind = (ast.SetOpKind.EXCEPT_ALL if self.accept_kw("all")
+                        else ast.SetOpKind.EXCEPT)
             right = self.parse_select_core()
             left = ast.SetOp(kind, left, right)
         return left
@@ -559,11 +575,27 @@ class Parser:
         t = self.peek()
         if t.kind is Tok.OP and t.value == "-":
             self.next()
+            if self.peek().kind is Tok.NUMBER:
+                # fold the sign into the literal (so e.g. split_part's
+                # literal-argument contract sees -1 as a literal)
+                lit = self.parse_primary()
+                assert isinstance(lit, ast.Literal)
+                e = ast.Literal(-lit.value)
+                while (self.peek().kind is Tok.OP
+                       and self.peek().value == "::"):
+                    self.next()
+                    e = ast.Cast(e, self.parse_type_name())
+                return e
             return ast.UnaryOp(ast.UnOp.NEG, self.parse_unary())
         if t.kind is Tok.OP and t.value == "+":
             self.next()
             return self.parse_unary()
-        return self.parse_primary()
+        e = self.parse_primary()
+        # postfix ::type casts (Postgres spelling), left-associative
+        while self.peek().kind is Tok.OP and self.peek().value == "::":
+            self.next()
+            e = ast.Cast(e, self.parse_type_name())
+        return e
 
     def parse_primary(self) -> ast.Expr:
         t = self.peek()
@@ -610,7 +642,8 @@ class Parser:
             e = self.parse_expr()
             self.expect(Tok.RPAREN)
             return e
-        if t.kind is Tok.IDENT or t.is_kw("first", "last", "values"):
+        if t.kind is Tok.IDENT or t.is_kw("first", "last", "values") or (
+                t.is_kw("left", "right") and self.peek(1).kind is Tok.LPAREN):
             name = self.next().value
             low = name.lower()
             # typed literals: DATE '...', TIMESTAMP '...', INTERVAL '...'
@@ -624,12 +657,21 @@ class Parser:
                 unit_tok = self.next()
                 unit = unit_tok.value.lower()
                 if unit not in ("year", "month", "day", "quarter", "hour",
-                                "minute", "second", "dow", "doy"):
+                                "minute", "second", "dow", "doy", "epoch",
+                                "week", "isodow"):
                     self.err(f"unknown EXTRACT unit {unit!r}")
                 self.expect_kw("from")
                 inner = self.parse_expr()
                 self.expect(Tok.RPAREN)
                 return ast.FunctionCall(unit, (inner,))
+            if low == "position" and self.peek().kind is Tok.LPAREN:
+                # position(sub IN s) = strpos(s, sub)
+                self.next()
+                sub = self.parse_additive()
+                self.expect_kw("in")
+                s = self.parse_expr()
+                self.expect(Tok.RPAREN)
+                return ast.FunctionCall("strpos", (s, sub))
             # function call
             if self.peek().kind is Tok.LPAREN:
                 self.next()
@@ -650,6 +692,36 @@ class Parser:
                     self.expect(Tok.RPAREN)
                 fc = ast.FunctionCall(name.lower(), tuple(args),
                                       distinct=distinct)
+                if (fc.name == "date_trunc" and len(fc.args) == 2
+                        and isinstance(fc.args[0], ast.Literal)
+                        and isinstance(fc.args[0].value, str)):
+                    unit = fc.args[0].value.lower()
+                    if unit not in ("year", "quarter", "month", "week",
+                                    "day", "hour", "minute", "second"):
+                        self.err(f"unknown date_trunc unit {unit!r}")
+                    fc = ast.FunctionCall(f"date_trunc_{unit}",
+                                          (fc.args[1],))
+                if self._is_word("filter") and self.peek(1).kind is Tok.LPAREN:
+                    # agg(x) FILTER (WHERE c) ≡ agg(CASE WHEN c THEN x END)
+                    # for the null-ignoring aggregates (all of ours)
+                    self.next()
+                    self.next()
+                    self.expect_kw("where")
+                    cond = self.parse_expr()
+                    self.expect(Tok.RPAREN)
+                    wrapped = []
+                    for i, a in enumerate(fc.args):
+                        if i == 0:
+                            if isinstance(a, ast.Star):
+                                a = ast.Literal(1)
+                            wrapped.append(ast.Case(None, ((cond, a),), None))
+                        else:
+                            wrapped.append(a)
+                    if not wrapped:
+                        wrapped = [ast.Case(None, ((cond, ast.Literal(1)),),
+                                            None)]
+                    fc = ast.FunctionCall(fc.name, tuple(wrapped),
+                                          distinct=fc.distinct)
                 if self.peek().is_kw("over"):
                     self.next()
                     self.expect(Tok.LPAREN)

@@ -36,7 +36,7 @@ KEYWORDS = {
     "drop", "if", "values",
 }
 
-_TWO_CHAR_OPS = {"<=", ">=", "<>", "!=", "||"}
+_TWO_CHAR_OPS = {"<=", ">=", "<>", "!=", "||", "::"}
 _ONE_CHAR_OPS = set("+-*/%<>=")
 
 
