@@ -236,6 +236,30 @@ class Executor:
             cols.append(RCol(arr, valid, f.dtype, d, stats))
         return RTable(cols, [f.name for f in node.schema], rt.mask, rt.capacity)
 
+    def _run_renderstring(self, node: L.RenderString) -> RTable:
+        """CAST(x AS VARCHAR) host rendering: pull the numeric column,
+        format, and rebuild an order-preserving (lexicographically
+        sorted) dictionary + codes. One d2h/h2d round trip per query —
+        the price of the engine's sorted-dictionary string invariant."""
+        rt = self.run(node.input)
+        cols = list(rt.cols)
+        for i in node.indices:
+            c = cols[i]
+            arr = c.arr
+            live = rt.mask if rt.mask is not None else None
+            if c.valid is not None:
+                live = c.valid if live is None else (live & c.valid)
+            if live is not None:
+                arr = jnp.where(live, arr, jnp.zeros((), arr.dtype))
+            vals = np.asarray(jax.device_get(arr))
+            uniq, inv = np.unique(vals, return_inverse=True)
+            strs = _format_sql_strings(uniq, c.dtype)
+            d, remap = np.unique(strs, return_inverse=True)
+            codes = remap.astype(np.int32)[inv]
+            cols[i] = RCol(jnp.asarray(codes), c.valid, SqlType.STRING,
+                           d.astype(object))
+        return RTable(cols, rt.names, rt.mask, rt.capacity)
+
     def _run_filter(self, node: L.Filter) -> RTable:
         rt = self.run(node.input)
 
@@ -668,6 +692,27 @@ def _prep_sig(prep: ExprPrep):
                 items.append((k, tuple(v)))
     shapes = tuple(a.shape + (str(a.dtype),) for a in prep.aux_arrays)
     return (tuple(items), shapes)
+
+
+def _format_sql_strings(uniq: np.ndarray, dtype: SqlType) -> np.ndarray:
+    """SQL text for unique values (Postgres-style: true/false, ISO
+    dates, 'YYYY-MM-DD HH:MM:SS[.ffffff]' timestamps, shortest
+    round-trip floats)."""
+    if dtype is SqlType.BOOL:
+        return np.where(uniq.astype(bool), "true", "false").astype(object)
+    if dtype is SqlType.DATE32:
+        base = np.datetime64("1970-01-01", "D")
+        return (base + uniq.astype("timedelta64[D]")).astype(str) \
+            .astype(object)
+    if dtype is SqlType.TIMESTAMP:
+        ts = uniq.astype("datetime64[us]").astype(str)
+        out = np.char.replace(ts, "T", " ")
+        out = np.char.replace(out, ".000000", "")
+        return out.astype(object)
+    if dtype.is_integer:
+        return uniq.astype(str).astype(object)
+    # floats: shortest round-trip repr
+    return np.asarray([repr(float(v)) for v in uniq], dtype=object)
 
 
 def _unique_names(names: list[str]) -> list[str]:

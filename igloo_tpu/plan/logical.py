@@ -225,6 +225,26 @@ class Projection(LogicalPlan):
 
 
 @dataclasses.dataclass
+class RenderString(LogicalPlan):
+    """Host-rendered CAST(x AS VARCHAR): converts the given numeric /
+    temporal / boolean input columns into order-preserving
+    dictionary-coded STRING columns (one device→host→device round trip
+    per query — the dictionary must be lexicographically sorted for the
+    engine's string comparison/sort invariants, which no on-device
+    representation of unbounded values can provide). Inserted by the
+    optimizer's string-render hoist; never distributable."""
+    input: LogicalPlan
+    indices: tuple                       # input columns to render
+    schema: Schema
+
+    def children(self):
+        return [self.input]
+
+    def _describe(self):
+        return f"RenderString(cols={list(self.indices)})"
+
+
+@dataclasses.dataclass
 class Filter(LogicalPlan):
     input: LogicalPlan
     predicate: BExpr

@@ -21,8 +21,106 @@ def optimize(plan: L.LogicalPlan) -> L.LogicalPlan:
     plan = _rewrite(plan, _push_filter_into_join)
     plan = _rewrite(plan, _push_filter_into_join)  # reach newly-created sites
     plan = _rewrite(plan, _merge_filters)
+    plan = _rewrite(plan, _hoist_string_renders)
     plan, _ = _prune_columns(plan, set(range(len(plan.schema))))
     return plan
+
+
+def _node_expr_slots(node):
+    """(getter, setter) pairs for every expression a node evaluates —
+    the sites the string-render hoist may rewrite."""
+    if isinstance(node, L.Projection):
+        return [(lambda n=node: n.exprs,
+                 lambda v, n=node: setattr(n, "exprs", v))]
+    if isinstance(node, L.Filter):
+        return [(lambda n=node: (n.predicate,),
+                 lambda v, n=node: setattr(n, "predicate", v[0]))]
+    if isinstance(node, L.Aggregate):
+        def set_aggs(v, n=node):
+            n.aggs = tuple(dataclasses.replace(a, arg=e)
+                           for a, e in zip(n.aggs, v))
+        return [(lambda n=node: n.group_exprs,
+                 lambda v, n=node: setattr(n, "group_exprs", v)),
+                (lambda n=node: tuple(a.arg for a in n.aggs), set_aggs)]
+    if isinstance(node, L.Sort):
+        def set_keys(v, n=node):
+            n.keys = tuple(dataclasses.replace(k, expr=e)
+                           for k, e in zip(n.keys, v))
+        return [(lambda n=node: tuple(k.expr for k in n.keys), set_keys)]
+    return []
+
+
+def _replace_subexprs(e, mapping: dict):
+    if e is None:
+        return None
+    if id(e) in mapping:
+        return mapping[id(e)]
+    if isinstance(e, (L.BBinary, L.BIsDistinctFrom)):
+        return dataclasses.replace(
+            e, left=_replace_subexprs(e.left, mapping),
+            right=_replace_subexprs(e.right, mapping))
+    if isinstance(e, (L.BUnary, L.BIsNull, L.BCast, L.BLike)):
+        return dataclasses.replace(
+            e, operand=_replace_subexprs(e.operand, mapping))
+    if isinstance(e, L.BInList):
+        return dataclasses.replace(
+            e, operand=_replace_subexprs(e.operand, mapping),
+            items=tuple(_replace_subexprs(i, mapping) for i in e.items))
+    if isinstance(e, L.BCase):
+        return dataclasses.replace(
+            e, whens=tuple((_replace_subexprs(c, mapping),
+                            _replace_subexprs(v, mapping))
+                           for c, v in e.whens),
+            else_=_replace_subexprs(e.else_, mapping))
+    if isinstance(e, (L.BScalarFunc, L.BStringFunc)):
+        return dataclasses.replace(
+            e, args=tuple(_replace_subexprs(a, mapping) for a in e.args))
+    return e
+
+
+def _hoist_string_renders(node: L.LogicalPlan) -> L.LogicalPlan:
+    """CAST(x AS VARCHAR) over non-strings: hoist the operand into a
+    pre-projection, render it host-side (L.RenderString — the
+    lexicographically-sorted dictionary the string invariants demand
+    cannot be built on device), and reference the rendered column."""
+    slots = _node_expr_slots(node)
+    if not slots:
+        return node
+    casts = []
+    for get, _ in slots:
+        for e in get():
+            if e is None:
+                continue
+            for sub in L.walk_expr(e):
+                if (isinstance(sub, L.BCast) and sub.dtype.is_string
+                        and sub.operand is not None
+                        and not sub.operand.dtype.is_string
+                        and not any(s is sub for s in casts)):
+                    casts.append(sub)
+    if not casts:
+        return node
+    inp = node.input
+    n0 = len(inp.schema)
+    pre_exprs = tuple(
+        L.BColumn(f.dtype, f.nullable, i, f.name)
+        for i, f in enumerate(inp.schema)
+    ) + tuple(c.operand for c in casts)
+    extra = tuple(L.Field(f"__render_{i}", c.operand.dtype, c.nullable)
+                  for i, c in enumerate(casts))
+    pre = L.Projection(inp, pre_exprs, tuple(inp.schema) + extra)
+    rendered = tuple(L.Field(f.name, SqlType.STRING, f.nullable)
+                     for f in extra)
+    render = L.RenderString(pre, tuple(range(n0, n0 + len(casts))),
+                            tuple(inp.schema) + rendered)
+    mapping = {
+        id(c): L.BColumn(SqlType.STRING, c.nullable, n0 + i,
+                         f"__render_{i}")
+        for i, c in enumerate(casts)
+    }
+    for get, setter in slots:
+        setter(tuple(_replace_subexprs(e, mapping) for e in get()))
+    node.input = render
+    return node
 
 
 def _push_filter_into_join(plan: L.LogicalPlan) -> L.LogicalPlan:

@@ -150,6 +150,51 @@ def test_date_trunc_and_extract(engine):
         assert out.column("ep")[i].as_py() == epoch
 
 
+def test_cast_to_varchar(engine):
+    engine.register_table("c", pa.table({
+        "i": pa.array([10, 2, None, 40], type=pa.int64()),
+        "x": pa.array([1.5, -2.25, 3.0, None]),
+        "b": [True, False, None, True],
+        "d": pa.array([datetime.date(2024, 1, 15), None,
+                       datetime.date(2023, 12, 1),
+                       datetime.date(2024, 6, 30)]),
+    }))
+    e = engine
+    assert col(e.execute("SELECT CAST(i AS VARCHAR) FROM c")) == \
+        ["10", "2", None, "40"]
+    assert col(e.execute("SELECT i::VARCHAR || '-x' FROM c")) == \
+        ["10-x", "2-x", None, "40-x"]
+    assert col(e.execute("SELECT CAST(x AS VARCHAR) FROM c")) == \
+        ["1.5", "-2.25", "3.0", None]
+    assert col(e.execute("SELECT CAST(b AS VARCHAR) FROM c")) == \
+        ["true", "false", None, "true"]
+    assert col(e.execute("SELECT CAST(d AS VARCHAR) FROM c")) == \
+        ["2024-01-15", None, "2023-12-01", "2024-06-30"]
+    # rendered strings obey the engine's ordering/comparison invariants
+    assert col(e.execute(
+        "SELECT CAST(i AS VARCHAR) FROM c "
+        "ORDER BY CAST(i AS VARCHAR) NULLS LAST")) == \
+        ["10", "2", "40", None]   # lexicographic: '10' < '2' < '40'
+    assert col(e.execute(
+        "SELECT count(*) FROM c WHERE CAST(i AS VARCHAR) LIKE '1%'")) == [1]
+    out = e.execute(
+        "SELECT CAST(i % 20 AS VARCHAR) AS g, count(*) AS n FROM c "
+        "WHERE i IS NOT NULL GROUP BY CAST(i % 20 AS VARCHAR) ORDER BY g")
+    assert col(out, "g") == ["0", "10", "2"]
+    assert col(e.execute(
+        "SELECT upper(CAST(b AS VARCHAR)) FROM c LIMIT 2")) == \
+        ["TRUE", "FALSE"]
+
+
+def test_cast_varchar_timestamp(engine):
+    ts = [datetime.datetime(2024, 3, 7, 14, 35, 42, 123456),
+          datetime.datetime(2021, 11, 30, 23, 0, 0)]
+    engine.register_table("ct", pa.table({
+        "t": pa.array(ts, type=pa.timestamp("us"))}))
+    assert col(engine.execute("SELECT CAST(t AS VARCHAR) FROM ct")) == \
+        ["2024-03-07 14:35:42.123456", "2021-11-30 23:00:00"]
+
+
 def test_date_trunc_timestamp(engine):
     ts = [datetime.datetime(2024, 3, 7, 14, 35, 42, 123456),
           datetime.datetime(2021, 11, 30, 23, 59, 59, 999999)]
