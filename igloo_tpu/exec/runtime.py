@@ -331,6 +331,9 @@ class Executor:
         group_exprs = list(node.group_exprs)
         agg_specs = list(node.aggs)
 
+        if any(a.func in L.HOST_AGGS for a in agg_specs):
+            return self._run_aggregate_host(node, rt, group_exprs, agg_specs)
+
         if not group_exprs:
             # ungrouped → single row
             arg_exprs = [a.arg for a in agg_specs if a.arg is not None]
@@ -394,6 +397,105 @@ class Executor:
                              spec.out_dtype, None))
             names.append(spec.out_name)
         return RTable(cols, names, new_mask, max_groups)
+
+    def _run_aggregate_host(self, node, rt, group_exprs, agg_specs):
+        """Aggregates with string outputs (string_agg): the device path
+        handles every other aggregate; the string columns assemble on
+        host (concatenation needs materialized strings + a rebuilt
+        sorted dictionary). Group alignment comes from re-evaluating the
+        group keys host-side against the device result's key rows."""
+        host_specs = [(i, a) for i, a in enumerate(agg_specs)
+                      if a.func in L.HOST_AGGS]
+        dev_specs = list(agg_specs)
+        for i, a in host_specs:
+            # placeholder keeps arity/positions: count of the same arg
+            dev_specs[i] = dataclasses.replace(
+                a, func="count", distinct=False, out_dtype=SqlType.INT64,
+                param=None, text_param=None)
+        dev_node = dataclasses.replace(
+            node, aggs=tuple(dev_specs),
+            schema=tuple(
+                dataclasses.replace(f, dtype=SqlType.INT64)
+                if j >= len(group_exprs)
+                and agg_specs[j - len(group_exprs)].func in L.HOST_AGGS
+                else f
+                for j, f in enumerate(node.schema)))
+        out = self._run_aggregate(dev_node)
+
+        # host inputs: group key values + the string-agg arg codes
+        key_out, kprep = self._eval_program(rt, group_exprs, "hagg_k")
+        arg_exprs = [a.arg for _, a in host_specs]
+        arg_out, aprep = self._eval_program(rt, arg_exprs, "hagg_a")
+        mask = np.asarray(jax.device_get(rt.mask_or_ones()))
+
+        def host_col(arr, valid, dict_):
+            a = np.asarray(jax.device_get(arr))
+            v = (np.asarray(jax.device_get(valid))
+                 if valid is not None else None)
+            return a, v, dict_
+
+        keys = [host_col(a, v, kprep.out_dict(e))
+                for (a, v), e in zip(key_out, group_exprs)]
+
+        def key_tuple(r):
+            parts = []
+            for a, v, d in keys:
+                if v is not None and not v[r]:
+                    parts.append(None)
+                elif d is not None:
+                    parts.append(str(d[a[r]]))
+                else:
+                    parts.append(a[r].item())
+            return tuple(parts)
+
+        groups: dict = {}
+        args = [host_col(a, v, aprep.out_dict(e))
+                for (a, v), e in zip(arg_out, arg_exprs)]
+        for r in range(len(mask)):
+            if not mask[r]:
+                continue
+            kt = key_tuple(r)
+            slot = groups.setdefault(kt, [[] for _ in host_specs])
+            for ci, (a, v, d) in enumerate(args):
+                if v is not None and not v[r]:
+                    continue
+                slot[ci].append(str(d[a[r]]))
+
+        # align to the device result's group rows
+        g_cols = out.cols[:len(group_exprs)]
+        n_groups_mask = np.asarray(jax.device_get(out.mask_or_ones()))
+        gkeys = [host_col(c.arr, c.valid, c.dictionary) for c in g_cols]
+        new_cols = list(out.cols)
+        for ci, (pos, spec) in enumerate(host_specs):
+            sep = spec.text_param or ""
+            rendered = []
+            valid_np = np.zeros((out.capacity,), np.bool_)
+            for r in range(out.capacity):
+                if not n_groups_mask[r]:
+                    rendered.append("")
+                    continue
+                parts = []
+                for a, v, d in gkeys:
+                    if v is not None and not v[r]:
+                        parts.append(None)
+                    elif d is not None:
+                        parts.append(str(d[a[r]]))
+                    else:
+                        parts.append(a[r].item())
+                vals = groups.get(tuple(parts), [[]] * (ci + 1))[ci]
+                if spec.distinct:
+                    vals = list(dict.fromkeys(vals))
+                if vals:
+                    rendered.append(sep.join(vals))
+                    valid_np[r] = True
+                else:
+                    rendered.append("")
+            d, codes = np.unique(np.asarray(rendered, dtype=object),
+                                 return_inverse=True)
+            new_cols[len(group_exprs) + pos] = RCol(
+                jnp.asarray(codes.astype(np.int32)), jnp.asarray(valid_np),
+                SqlType.STRING, d.astype(object))
+        return RTable(new_cols, out.names, out.mask, out.capacity)
 
     def _run_aggregate_mxu(self, node, rt, group_exprs, agg_specs,
                            prep_exprs, mxu):

@@ -65,6 +65,9 @@ def node_distributable(node: L.LogicalPlan, single: bool = False) -> bool:
     if isinstance(node, L.Join) and node.kind not in (
             JoinKind.INNER, JoinKind.LEFT, JoinKind.RIGHT, JoinKind.FULL):
         return False
+    if isinstance(node, L.Aggregate) and any(a.func in L.HOST_AGGS
+                                             for a in node.aggs):
+        return False
     # scalar subqueries need recursive host execution — keep on host path
     for e in _node_exprs(node):
         for sub in L.walk_expr(e):

@@ -593,6 +593,20 @@ class Binder:
                 raise BindError(f"quantile() over {arg.dtype.name} not supported")
             return AggSpec("quantile", arg, False, out_name, SqlType.FLOAT64,
                            True, float(qlit.value))
+        if name == "string_agg":
+            if len(fc.args) != 2:
+                raise BindError("string_agg(expr, separator)")
+            arg = self.bind_expr(fc.args[0], scope)
+            sep = fc.args[1]
+            if not (isinstance(sep, ast.Literal)
+                    and isinstance(sep.value, str)):
+                raise BindError("string_agg() separator must be a string "
+                                "literal")
+            if not arg.dtype.is_string:
+                raise BindError("string_agg() expects a string argument "
+                                "(CAST(x AS VARCHAR) first)")
+            return AggSpec("string_agg", arg, fc.distinct, out_name,
+                           SqlType.STRING, True, text_param=sep.value)
         if len(fc.args) != 1:
             raise BindError(f"{name}() takes exactly one argument")
         arg = self.bind_expr(fc.args[0], scope)

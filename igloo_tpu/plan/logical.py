@@ -149,11 +149,15 @@ class BScalarSubquery(BExpr):
 
 AGG_FUNCS = ("sum", "count", "min", "max", "avg", "stddev", "stddev_samp",
              "var", "var_samp", "first_value", "any_value",
-             "median", "quantile")
+             "median", "quantile", "string_agg")
 
 # holistic aggregates need every raw row of the group in one place
 # (value-sorted) — they never decompose into mergeable partials
 HOLISTIC_AGGS = ("median", "quantile")
+
+# host-assembled aggregates (string results need dictionary rebuilds);
+# executed by the single-device runtime, never inside fused fragments
+HOST_AGGS = ("string_agg",)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,6 +169,7 @@ class AggSpec:
     out_dtype: SqlType
     out_nullable: bool
     param: Optional[float] = None   # quantile fraction
+    text_param: Optional[str] = None  # string_agg separator
 
 
 # --------------------------------------------------------------------------

@@ -195,6 +195,31 @@ def test_cast_varchar_timestamp(engine):
         ["2024-03-07 14:35:42.123456", "2021-11-30 23:00:00"]
 
 
+def test_string_agg(engine):
+    engine.register_table("sa", pa.table({
+        "g": ["a", "b", "a", None, "b", "a"],
+        "s": ["x", "y", None, "z", "y", "w"],
+        "v": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+    }))
+    out = engine.execute(
+        "SELECT g, string_agg(s, ',') AS r, sum(v) AS sv FROM sa "
+        "GROUP BY g ORDER BY g NULLS LAST")
+    assert col(out, "r") == ["x,w", "y,y", "z"]
+    assert col(out, "sv") == [10, 7, 4]
+    assert col(engine.execute(
+        "SELECT string_agg(s, '|') FROM sa")) == ["x|y|z|y|w"]
+    out = engine.execute(
+        "SELECT g, string_agg(DISTINCT s, ',') AS r FROM sa "
+        "GROUP BY g ORDER BY g NULLS LAST")
+    assert col(out, "r") == ["x,w", "y", "z"]
+    assert col(engine.execute(
+        "SELECT string_agg(CAST(v AS VARCHAR), '+') FROM sa "
+        "WHERE v < 4")) == ["1+2+3"]
+    # empty group set → NULL (SQL: no rows aggregated)
+    assert col(engine.execute(
+        "SELECT string_agg(s, ',') FROM sa WHERE v > 100")) == [None]
+
+
 def test_date_trunc_timestamp(engine):
     ts = [datetime.datetime(2024, 3, 7, 14, 35, 42, 123456),
           datetime.datetime(2021, 11, 30, 23, 59, 59, 999999)]
