@@ -388,10 +388,11 @@ def _bucket_semi_anti(ex, node, left, right, start, counts, njb, lj,
     Null semantics match _semi_anti_path."""
     from .runtime import RTable
     is_anti = node.kind is JoinKind.ANTI
+    null_aware = getattr(node, "null_aware_anti", True)
     r_cap = right.capacity
 
     if k_win is not None:
-        key = ("join_wsa", is_anti, k_win, left.capacity, r_cap,
+        key = ("join_wsa", is_anti, null_aware, k_win, left.capacity, r_cap,
                left.mask is not None, right.mask is not None,
                len(build.verify))
         fn = ex._jit_cache.get(key)
@@ -412,7 +413,7 @@ def _bucket_semi_anti(ex, node, left, right, start, counts, njb, lj,
                         ok = ok & (vl_arrs[c] == cand[c * k_win + k])
                     matched = matched | ok
                 return _semi_anti_mask(l_mask, r_mask, matched, njb, lj,
-                                       is_anti, r_cap)
+                                       is_anti, r_cap, null_aware)
             ex._jit_cache[key] = fn
 
         out_mask = fn(left.mask, right.mask, start, counts, build.verify,
@@ -421,7 +422,7 @@ def _bucket_semi_anti(ex, node, left, right, start, counts, njb, lj,
 
     # pathological bucket skew: expand candidates, verify, segment-OR
     inner_cap = pad_count(max(total, 1))
-    key = ("join_esa", is_anti, inner_cap, left.capacity, r_cap,
+    key = ("join_esa", is_anti, null_aware, inner_cap, left.capacity, r_cap,
            left.mask is not None, right.mask is not None,
            len(build.verify))
     fn = ex._jit_cache.get(key)
@@ -443,7 +444,7 @@ def _bucket_semi_anti(ex, node, left, right, start, counts, njb, lj,
                 eq = eq & (la == ra)
             matched = _segment_any(eq, counts, inner_cap)
             return _semi_anti_mask(l_mask, r_mask, matched, njb, lj,
-                                   is_anti, r_cap)
+                                   is_anti, r_cap, null_aware)
         ex._jit_cache[key] = fn
 
     out_mask = fn(left.mask, right.mask, start, counts, build.verify,
@@ -451,14 +452,21 @@ def _bucket_semi_anti(ex, node, left, right, start, counts, njb, lj,
     return RTable(left.cols, left.names, out_mask, left.capacity)
 
 
-def _semi_anti_mask(l_mask, r_mask, matched, njb, lj, is_anti, r_cap):
-    """Shared SEMI/ANTI output-mask logic over an exact `matched` flag
-    (three-valued NOT IN semantics; see _semi_anti_path)."""
+def _semi_anti_mask(l_mask, r_mask, matched, njb, lj, is_anti, r_cap,
+                    null_aware=True):
+    """Shared SEMI/ANTI output-mask logic over an exact `matched` flag.
+
+    null_aware=True: three-valued NOT IN semantics (a NULL probe value,
+    or any NULL among the build's values, removes the row — unless the
+    build is empty). False: plain NOT EXISTS — NULL keys never match,
+    so those rows are KEPT."""
     cap_l = matched.shape[0]
     alive_l = l_mask if l_mask is not None else jnp.ones((cap_l,),
                                                          jnp.bool_)
     if not is_anti:
         return alive_l & lj & matched
+    if not null_aware:
+        return alive_l & ~(lj & matched)
     n_alive_b = (jnp.sum(r_mask.astype(jnp.int32)) if r_mask is not None
                  else jnp.asarray(r_cap, jnp.int32))
     any_null_b = n_alive_b > njb
@@ -558,7 +566,8 @@ def _semi_anti_path(ex, node, left, right, counts, njb, lj):
     """
     from .runtime import RTable
     is_anti = node.kind is JoinKind.ANTI
-    key = ("join_sa", is_anti, left.capacity, right.capacity,
+    null_aware = getattr(node, "null_aware_anti", True)
+    key = ("join_sa", is_anti, null_aware, left.capacity, right.capacity,
            left.mask is not None, right.mask is not None)
     fn = ex._jit_cache.get(key)
     if fn is None:
@@ -566,19 +575,8 @@ def _semi_anti_path(ex, node, left, right, counts, njb, lj):
 
         @jax.jit
         def fn(l_mask, r_mask, counts, njb, lj):
-            cap_l = counts.shape[0]
-            alive_l = (l_mask if l_mask is not None
-                       else jnp.ones((cap_l,), jnp.bool_))
-            matched = counts > 0
-            if not is_anti:
-                return alive_l & lj & matched
-            n_alive_b = (jnp.sum(r_mask.astype(jnp.int32))
-                         if r_mask is not None
-                         else jnp.asarray(r_cap, jnp.int32))
-            any_null_b = n_alive_b > njb
-            empty_build = n_alive_b == 0
-            return jnp.where(empty_build, alive_l,
-                             alive_l & lj & ~matched & ~any_null_b)
+            return _semi_anti_mask(l_mask, r_mask, counts > 0, njb, lj,
+                                   is_anti, r_cap, null_aware)
         ex._jit_cache[key] = fn
 
     out_mask = fn(left.mask, right.mask, counts, njb, lj)

@@ -28,6 +28,12 @@ from ..dtypes import SqlType
 from .mesh import global_get, row_sharding
 
 
+@jax.jit
+def _squeeze_parts(*xs):
+    """(1, cap) fragment outputs → (cap,) views, all in one program."""
+    return tuple(x[0] for x in xs)
+
+
 def _mix64_np(x: np.ndarray) -> np.ndarray:
     x = x.astype(np.uint64, copy=True)
     with np.errstate(over="ignore"):
@@ -147,13 +153,23 @@ class PartitionedTable:
             ch = self.counts_host
             total = int((ch if ch is not None
                          else np.asarray(jax.device_get(self.counts)))[0])
-            columns = {
-                name: Column(data=c.data[0], dtype=c.dtype,
-                             validity=(c.valid[0] if c.valid is not None
-                                       else None),
-                             dictionary=c.dictionary)
-                for name, c in self.cols.items()
-            }
+            # ONE squeeze program for every column+validity — per-array
+            # indexing would dispatch a dynamic_slice + squeeze program
+            # per column (measured ~1ms device + a dispatch each)
+            flat = []
+            for c in self.cols.values():
+                flat.append(c.data)
+                if c.valid is not None:
+                    flat.append(c.valid)
+            sq = list(_squeeze_parts(*flat)) if flat else []
+            it = iter(sq)
+            columns = {}
+            for name, c in self.cols.items():
+                data = next(it)
+                valid = next(it) if c.valid is not None else None
+                columns[name] = Column(data=data, dtype=c.dtype,
+                                       validity=valid,
+                                       dictionary=c.dictionary)
             return DeviceTable(columns, total)
         counts = (self.counts_host if self.counts_host is not None
                   else global_get(self.counts))

@@ -924,12 +924,80 @@ class Binder:
             left_keys.append(operand)
             right_keys.append(inner_val)
             if negated:
-                raise NotSupportedError(
-                    "correlated NOT IN is not supported yet; "
-                    "rewrite with NOT EXISTS")
+                return self._corr_not_in(plan, sub, corr_pairs, operand,
+                                         inner_val)
         kind = ast.JoinKind.ANTI if negated else ast.JoinKind.SEMI
+        # decorrelated NOT EXISTS is a PLAIN anti join: NULL keys never
+        # match and such rows are kept (NOT IN's null-awareness is wrong
+        # here — its decorrelated form is handled above)
         return Join(plan, sub, kind, tuple(left_keys), tuple(right_keys),
-                    None, tuple(plan.schema))
+                    None, tuple(plan.schema), null_aware_anti=False)
+
+    def _corr_not_in(self, plan, sub, corr_pairs, operand, inner_val):
+        """Correlated NOT IN: per-group three-valued logic.
+
+            x NOT IN (SELECT y FROM s WHERE s.k = outer.k AND preds)
+
+        Per outer row, with S = the row's correlated group: keep iff
+        S is empty, OR (x IS NOT NULL AND S has no NULL y AND x ∉ S).
+        Two stages over existing machinery:
+        1. LEFT JOIN a per-key aggregate (count(*) AS tot, count(y) AS
+           nn): keep rows where the group is absent, or has no NULL y
+           and x is non-NULL;
+        2. a PLAIN anti join on (k..., x=y) removes actual matches
+           (NULL keys never match — stage 1 already decided them).
+        """
+        import copy
+
+        from .logical import Aggregate, AggSpec
+
+        n0 = len(plan.schema)
+        nk = len(corr_pairs)
+        inner_keys = [i for _, i in corr_pairs]
+        outer_keys = [o for o, _ in corr_pairs]
+        # the subquery feeds both stages — deep-copy so no plan node is
+        # shared (rewrites and column pruning mutate nodes in place)
+        sub_agg = copy.deepcopy(sub)
+
+        gfields = tuple(
+            Field(f"__k{j}", ik.dtype, ik.nullable)
+            for j, ik in enumerate(inner_keys)
+        ) + (Field("__tot", SqlType.INT64, False),
+             Field("__nn", SqlType.INT64, False))
+        agg = Aggregate(
+            sub_agg, tuple(inner_keys),
+            (AggSpec("count_star", None, False, "__tot", SqlType.INT64,
+                     False),
+             AggSpec("count", inner_val, False, "__nn", SqlType.INT64,
+                     False)),
+            gfields)
+
+        j_schema = tuple(plan.schema) + tuple(
+            dataclasses.replace(f, nullable=True) for f in gfields)
+        gkey_cols = tuple(BColumn(f.dtype, f.nullable, j, f.name)
+                          for j, f in enumerate(gfields[:nk]))
+        j1 = Join(plan, agg, ast.JoinKind.LEFT, tuple(outer_keys),
+                  gkey_cols, None, j_schema)
+
+        tot = BColumn(SqlType.INT64, True, n0 + nk, "__tot")
+        nn = BColumn(SqlType.INT64, True, n0 + nk + 1, "__nn")
+        # group absent (tot IS NULL) → keep; else x non-NULL and no
+        # NULL y in the group (tot == nn)
+        group_absent = BIsNull(SqlType.BOOL, False, tot, False)
+        x_not_null = BIsNull(SqlType.BOOL, False, operand, True)
+        no_nulls = BBinary(SqlType.BOOL, True, ast.BinOp.EQ, tot, nn)
+        cond = BBinary(SqlType.BOOL, True, ast.BinOp.OR, group_absent,
+                       BBinary(SqlType.BOOL, True, ast.BinOp.AND,
+                               x_not_null, no_nulls))
+        filtered = Filter(j1, cond)
+        back = Projection(filtered, tuple(
+            BColumn(f.dtype, f.nullable, i, f.name)
+            for i, f in enumerate(plan.schema)), tuple(plan.schema))
+
+        return Join(back, sub, ast.JoinKind.ANTI,
+                    tuple(outer_keys) + (operand,),
+                    tuple(inner_keys) + (inner_val,), None,
+                    tuple(plan.schema), null_aware_anti=False)
 
     def _try_decorrelate_scalar_cmp(self, plan, scope, conj):
         """Correlated scalar-aggregate subquery in a WHERE comparison:
@@ -1036,20 +1104,17 @@ class Binder:
         return new_plan, pred
 
     def _corr_eq(self, conj, inner_scope: Scope, outer_scope: Scope):
-        """inner.col = outer.col (either orientation) → (outer, inner)."""
+        """<inner expr> = <outer expr> (either orientation, arbitrary
+        single-scope expressions) → (outer BExpr, inner BExpr)."""
         if not (isinstance(conj, ast.BinaryOp)
                 and conj.op is ast.BinOp.EQ):
             return None
 
         def side(e, scope):
-            if isinstance(e, ast.ColumnRef):
-                try:
-                    i = scope.resolve(e.name, e.table)
-                except BindError:
-                    return None
-                f = scope.fields[i]
-                return BColumn(f.dtype, f.nullable, i, f.name)
-            return None
+            try:
+                return self.bind_expr(e, scope)
+            except (BindError, NotSupportedError):
+                return None
 
         li, lo = side(conj.left, inner_scope), side(conj.left, outer_scope)
         ri, ro = side(conj.right, inner_scope), side(conj.right, outer_scope)

@@ -274,6 +274,11 @@ class Join(LogicalPlan):
     right_keys: tuple
     residual: Optional[BExpr]            # non-equi part of ON, over joined schema
     schema: Schema
+    # ANTI joins implement two SQL constructs with different NULL rules:
+    # NOT IN (null_aware_anti=True: a NULL probe value, or any NULL among
+    # the subquery's values, removes the row) and NOT EXISTS
+    # (False: NULL keys simply never match, so such rows are KEPT)
+    null_aware_anti: bool = True
 
     def children(self):
         return [self.left, self.right]

@@ -195,6 +195,43 @@ def test_cast_varchar_timestamp(engine):
         ["2024-03-07 14:35:42.123456", "2021-11-30 23:00:00"]
 
 
+def test_not_exists_null_keys(engine):
+    """NOT EXISTS is a PLAIN anti join: NULL keys never match and such
+    rows are KEPT (previously leaked NOT IN's three-valued semantics)."""
+    engine.register_table("t", pa.table({
+        "k": pa.array([1, 2, None], type=pa.int64()), "v": [10, 20, 30]}))
+    engine.register_table("s", pa.table({
+        "k": pa.array([1, None], type=pa.int64())}))
+    out = engine.execute(
+        "SELECT v FROM t WHERE NOT EXISTS "
+        "(SELECT 1 FROM s WHERE s.k = t.k)")
+    assert sorted(out.column("v").to_pylist()) == [20, 30]
+    out = engine.execute("SELECT v FROM t WHERE k NOT IN (SELECT k FROM s)")
+    assert out.column("v").to_pylist() == []   # NULL in subquery → empty
+
+
+def test_correlated_not_in(engine):
+    engine.register_table("t", pa.table({
+        "k": pa.array([1, 2, 3, None], type=pa.int64()),
+        "x": pa.array([5, 5, 9, 5], type=pa.int64()),
+        "v": [10, 20, 30, 40]}))
+    engine.register_table("s", pa.table({
+        "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "y": pa.array([5, 6, None, 7], type=pa.int64())}))
+    # k=1: x∈S → out; k=2: S={NULL} → out; k=3: 9∉{7} → keep;
+    # k=NULL: S empty → keep
+    out = engine.execute(
+        "SELECT v FROM t WHERE x NOT IN (SELECT y FROM s WHERE s.k = t.k)")
+    assert sorted(out.column("v").to_pylist()) == [30, 40]
+    # NULL probe: kept only when its correlated group is empty
+    engine.register_table("t2", pa.table({
+        "k": pa.array([1, 9], type=pa.int64()),
+        "x": pa.array([None, None], type=pa.int64()), "v": [1, 2]}))
+    out = engine.execute(
+        "SELECT v FROM t2 WHERE x NOT IN (SELECT y FROM s WHERE s.k = t2.k)")
+    assert out.column("v").to_pylist() == [2]
+
+
 def test_string_agg(engine):
     engine.register_table("sa", pa.table({
         "g": ["a", "b", "a", None, "b", "a"],
