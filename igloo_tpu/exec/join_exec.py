@@ -370,10 +370,10 @@ def _bucket_window_path(ex, node, left, right, start, counts,
         [c.arr for c in left.cols], [c.valid for c in left.cols], left.mask,
         start, counts, build.arrs, build.valids, build.verify, vl)
     cols = [
-        RCol(a, v, c.dtype, c.dictionary)
+        RCol(a, v, c.dtype, c.dictionary, c.stats)
         for (a, v), c in zip(left_cols, left.cols)
     ] + [
-        RCol(a, v, c.dtype, c.dictionary)
+        RCol(a, v, c.dtype, c.dictionary, c.stats)
         for (a, v), c in zip(build_cols, right.cols)
     ]
     names = [f.name for f in node.schema]
@@ -632,10 +632,10 @@ def _unique_path(ex, node, left, right, start, counts, build: _BuildSide,
         start, counts, build.arrs, build.valids, build.verify,
         l_key_arrs if build.verify is not None else None)
     cols = [
-        RCol(a, v, c.dtype, c.dictionary)
+        RCol(a, v, c.dtype, c.dictionary, c.stats)
         for (a, v), c in zip(left_cols, left.cols)
     ] + [
-        RCol(a, v, c.dtype, c.dictionary)
+        RCol(a, v, c.dtype, c.dictionary, c.stats)
         for (a, v), c in zip(build_cols, right.cols)
     ]
     names = [f.name for f in node.schema]
@@ -749,7 +749,7 @@ def _segmented_path(ex, node, left, right, start, counts, build: _BuildSide,
         build.verify, build.njb, lj, build.sk, lkey,
         l_key_arrs if build.verify is not None else None)
     src = list(left.cols) + list(right.cols)
-    cols = [RCol(a, v, c.dtype, c.dictionary)
+    cols = [RCol(a, v, c.dtype, c.dictionary, c.stats)
             for (a, v), c in zip(out_cols, src)]
     names = [f.name for f in node.schema]
     return RTable(cols, names, out_mask, out_cap)
@@ -797,7 +797,7 @@ def _cross_join(ex, node, left, right):
     outs, mask = fn([c.arr for c in lc.cols], [c.valid for c in lc.cols],
                     [c.arr for c in rc.cols], [c.valid for c in rc.cols])
     src = list(left.cols) + list(right.cols)
-    cols = [RCol(a, v, c.dtype, c.dictionary) for (a, v), c in zip(outs, src)]
+    cols = [RCol(a, v, c.dtype, c.dictionary, c.stats) for (a, v), c in zip(outs, src)]
     return RTable(cols, [f.name for f in node.schema], mask, out_cap)
 
 

@@ -95,7 +95,14 @@ def _to_bits(a: jax.Array) -> tuple[jax.Array, int]:
         return a.astype(jnp.uint64), 64
     if a.dtype == jnp.float64:
         a = jnp.where(a == 0, jnp.zeros_like(a), a)
-        return jax.lax.bitcast_convert_type(a, jnp.uint64), 64
+        # f64 bits through i32[n,2] — direct f64→u64 bitcasts are
+        # unimplemented in the TPU x64-emulation rewrite
+        w = jax.lax.bitcast_convert_type(a, jnp.int32)
+        lo = jax.lax.bitcast_convert_type(w[:, 0], jnp.uint32) \
+            .astype(jnp.uint64)
+        hi = jax.lax.bitcast_convert_type(w[:, 1], jnp.uint32) \
+            .astype(jnp.uint64)
+        return (hi << jnp.uint64(32)) | lo, 64
     raise TypeError(f"unsupported join key dtype {a.dtype}")
 
 

@@ -128,27 +128,15 @@ def _gather_planes(idx2d, tab_planes, interpret=False):
 
 
 def _column_planes(a: jax.Array):
-    """Split a 1-D column into int32 plane columns + rebuild dtype."""
-    dt = a.dtype
-    if dt in (jnp.int64, jnp.uint64, jnp.float64):
-        w = jax.lax.bitcast_convert_type(a, jnp.int32)        # (n, 2)
-        return [w[:, 0], w[:, 1]], dt
-    if dt in (jnp.float32, jnp.uint32):
-        return [jax.lax.bitcast_convert_type(a, jnp.int32)], dt
-    if dt == jnp.int32:
-        return [a], dt
-    return [a.astype(jnp.int32)], dt
+    """Split a 1-D column into int32 plane columns + rebuild dtype
+    (shift-based for 64-bit types — see ops/gather_ops._planes_of)."""
+    from ..gather_ops import _planes_of
+    return _planes_of(a)
 
 
 def _column_from(planes: list, dt):
-    if dt in (jnp.int64, jnp.uint64, jnp.float64):
-        w = jnp.stack([planes[0], planes[1]], axis=-1)
-        return jax.lax.bitcast_convert_type(w, dt)
-    if dt in (jnp.float32, jnp.uint32):
-        return jax.lax.bitcast_convert_type(planes[0], dt)
-    if dt == jnp.int32:
-        return planes[0]
-    return planes[0].astype(dt)
+    from ..gather_ops import _rebuild
+    return _rebuild(planes, dt)
 
 
 def count_planes(dtypes) -> int:

@@ -160,7 +160,7 @@ class DistFragment:
                 return self._run_once(plan)
             except _OverflowRetry as r:
                 attempt += 1
-                if attempt > 6:
+                if attempt > 8:
                     raise ExecutionError(
                         "distributed shuffle/join capacity overflow persisted "
                         "after retries — data too skewed for configured "
@@ -170,8 +170,11 @@ class DistFragment:
                     # to the duplicate-expansion variant
                     self.join_expand = True
                 else:
+                    # join expansions can explode combinatorially under
+                    # duplicate heavy-hitter keys (zipf × zipf) — grow
+                    # fast; shuffle skew grows at most #rows-per-key
                     self.shuffle_factor *= 2
-                    self.join_factor *= 2
+                    self.join_factor *= 4
 
     def _run_once(self, plan: L.LogicalPlan) -> PartitionedTable:
         cache_key = (self.shuffle_factor, self.join_factor,
@@ -1425,7 +1428,10 @@ class DistFragment:
             else:
                 valid = None
             c = src[ci]
-            out_cols.append(SCol(arr, valid, c.dtype, c.dictionary))
+            # stats survive joins: zero-filled pad lanes are never alive,
+            # so live values stay inside the ingest bounds
+            out_cols.append(SCol(arr, valid, c.dtype, c.dictionary,
+                                 c.stats))
         alive = jnp.concatenate(seg_masks)
         names = [f.name for f in node.schema]
         return STable(out_cols, names, alive, alive.shape[0])
@@ -1453,12 +1459,27 @@ def _orderable_rank(values, valid, ascending, nulls_first):
         a = a.astype(jnp.int32)
     top = jnp.uint64(1) << jnp.uint64(63)
     if jnp.issubdtype(a.dtype, jnp.floating):
-        bits = jax.lax.bitcast_convert_type(a.astype(jnp.float64),
-                                            jnp.uint64)
-        neg = (bits >> jnp.uint64(63)) > 0
-        u = jnp.where(neg, ~bits, bits | top)
-    else:
-        u = a.astype(jnp.int64).astype(jnp.uint64) ^ top
+        # f32 bit rank: every f64 bitcast form (64→64 and (n,2)-shaped)
+        # is unimplemented in the TPU x64-emulation rewrite once fusion
+        # feeds it a broadcast. f32 collapse only widens rank ties —
+        # exactly what both consumers tolerate (range partitioning puts
+        # ties on one shard; top-k pruning verifies candidate counts
+        # and retries with more slack).
+        bits32 = jax.lax.bitcast_convert_type(a.astype(jnp.float32),
+                                              jnp.uint32)
+        neg32 = (bits32 >> jnp.uint32(31)) > 0
+        u32 = jnp.where(neg32, ~bits32,
+                        bits32 | (jnp.uint32(1) << jnp.uint32(31)))
+        u = u32.astype(jnp.uint64) << jnp.uint64(32)
+        if not ascending:
+            u = ~u
+        u = u >> jnp.uint64(1)
+        if valid is not None:
+            nr = (jnp.where(valid, top, jnp.uint64(0)) if nulls_first
+                  else jnp.where(valid, jnp.uint64(0), top))
+            u = jnp.where(valid, u, jnp.uint64(0)) | nr
+        return u
+    u = a.astype(jnp.int64).astype(jnp.uint64) ^ top
     if not ascending:
         u = ~u
     u = u >> jnp.uint64(1)

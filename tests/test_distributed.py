@@ -113,6 +113,25 @@ def test_dist_zipf_skew_aggregate(dist_engine, single_engine):
            "SELECT k, count(*) AS c FROM z GROUP BY k ORDER BY c DESC, k LIMIT 20")
 
 
+def test_dist_zipf_skew_join(dist_engine, single_engine):
+    """BASELINE config #5 shape: join with zipf-skewed probe keys and
+    duplicate build keys — exercises the shuffle capacity retry and the
+    join-expansion overflow retry under skew."""
+    rng = np.random.default_rng(11)
+    pk = np.minimum(rng.zipf(1.3, 8000), 500).astype(np.int64)
+    bk = np.concatenate([np.arange(1, 501), np.minimum(
+        rng.zipf(1.5, 600), 500)]).astype(np.int64)
+    probe = pa.table({"k": pk, "v": rng.integers(0, 100, len(pk))})
+    build = pa.table({"k": bk, "w": rng.integers(0, 100, len(bk))})
+    for e in (dist_engine, single_engine):
+        e.register_table("zp", probe)
+        e.register_table("zb", build)
+    _check(dist_engine, single_engine,
+           "SELECT zb.k, count(*) AS c, sum(zp.v + zb.w) AS s "
+           "FROM zp JOIN zb ON zp.k = zb.k "
+           "GROUP BY zb.k ORDER BY c DESC, zb.k LIMIT 25")
+
+
 def test_dist_string_group(both):
     d, s = both
     _check(d, s,
