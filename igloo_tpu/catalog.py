@@ -37,6 +37,11 @@ class TableProvider:
     def load(self) -> DeviceTable:
         raise NotImplementedError
 
+    def row_estimate(self) -> Optional[int]:
+        """Row count when known WITHOUT forcing a load (join-order
+        costing); None otherwise."""
+        return None
+
 
 class MemoryProvider(TableProvider):
     def __init__(self, table: DeviceTable):
@@ -49,6 +54,9 @@ class MemoryProvider(TableProvider):
 
     def load(self):
         return self._table
+
+    def row_estimate(self):
+        return self._table.nrows
 
 
 class ArrowProvider(TableProvider):
@@ -68,6 +76,9 @@ class ArrowProvider(TableProvider):
         if self._loaded is None:
             self._loaded = DeviceTable.from_arrow(self._arrow, device=self._device)
         return self._loaded
+
+    def row_estimate(self):
+        return self._arrow.num_rows
 
 
 class LazyFileProvider(TableProvider):
@@ -95,6 +106,9 @@ class LazyFileProvider(TableProvider):
             self._loaded = DeviceTable.from_arrow(self._load_fn(),
                                                   device=self._device)
         return self._loaded
+
+    def row_estimate(self):
+        return self._loaded.nrows if self._loaded is not None else None
 
 
 class Catalog:
@@ -141,6 +155,11 @@ class Catalog:
 
     def table_schema(self, name: str) -> tuple:
         return self._get(name).schema()
+
+    def table_rows(self, name: str) -> Optional[int]:
+        """Row count when known without forcing a load, else None."""
+        p = self._providers.get(name.lower())
+        return p.row_estimate() if p is not None else None
 
     def get_table(self, name: str) -> DeviceTable:
         return self._get(name).load()

@@ -235,7 +235,9 @@ class QueryEngine:
         plan = self._plan_cache.get(key)
         if plan is None:
             binder = Binder(self.catalog, self.functions)
-            plan = optimize(binder.bind(query))
+            rows = {n.lower(): r for n in self.catalog.names()
+                    if (r := self.catalog.table_rows(n)) is not None}
+            plan = optimize(binder.bind(query), table_rows=rows)
             self._plan_cache[key] = plan
         return plan
 

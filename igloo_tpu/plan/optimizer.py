@@ -11,19 +11,88 @@ from __future__ import annotations
 import dataclasses
 
 from ..dtypes import SqlType
-from ..sql.ast import BinOp
+from ..sql.ast import BinOp, JoinKind
 from . import logical as L
 
 
-def optimize(plan: L.LogicalPlan) -> L.LogicalPlan:
+def optimize(plan: L.LogicalPlan,
+             table_rows=None) -> L.LogicalPlan:
+    """table_rows: optional {table_name_lower: nrows} for size-based
+    rewrites (join build-side selection)."""
     plan = _rewrite(plan, _fuse_limit_sort)
     plan = _rewrite(plan, _merge_filters)
     plan = _rewrite(plan, _push_filter_into_join)
     plan = _rewrite(plan, _push_filter_into_join)  # reach newly-created sites
     plan = _rewrite(plan, _merge_filters)
+    if table_rows:
+        plan = _rewrite(plan, lambda n: _swap_join_sides(n, table_rows))
     plan = _rewrite(plan, _hoist_string_renders)
     plan, _ = _prune_columns(plan, set(range(len(plan.schema))))
     return plan
+
+
+def _estimate_rows(node: L.LogicalPlan, table_rows: dict,
+                   memo: dict) -> int:
+    """Crude bottom-up cardinality estimate for join-order decisions."""
+    got = memo.get(id(node))
+    if got is not None:
+        return got
+    if isinstance(node, L.Scan):
+        est = table_rows.get(node.table.lower(), 1 << 20)
+    elif isinstance(node, L.Values):
+        est = len(node.rows)
+    elif isinstance(node, L.Aggregate):
+        est = max(_estimate_rows(node.input, table_rows, memo) // 2, 1)
+    elif isinstance(node, L.Join):
+        l = _estimate_rows(node.left, table_rows, memo)
+        r = _estimate_rows(node.right, table_rows, memo)
+        est = l * r if node.kind is JoinKind.CROSS else max(l, r)
+    elif isinstance(node, L.Union):
+        est = sum(_estimate_rows(c, table_rows, memo) for c in node.inputs)
+    elif isinstance(node, L.Limit) and node.limit is not None:
+        est = min(node.limit + node.offset,
+                  _estimate_rows(node.input, table_rows, memo))
+    else:
+        kids = node.children()
+        est = (_estimate_rows(kids[0], table_rows, memo) if kids else 1)
+    memo[id(node)] = est
+    return est
+
+
+def _swap_join_sides(node: L.LogicalPlan, table_rows: dict
+                     ) -> L.LogicalPlan:
+    """Build on the smaller side: the right side is the hash build
+    (sorted + bucket-addressed); when it is estimated ≫ the probe side,
+    swap sides (flipping LEFT↔RIGHT) and restore column order with a
+    projection. The reference always builds right
+    (/root/reference/crates/engine/src/operators/hash_join.rs:100) and
+    has no size-based planning at all."""
+    if not isinstance(node, L.Join):
+        return node
+    flip = {JoinKind.INNER: JoinKind.INNER, JoinKind.LEFT: JoinKind.RIGHT,
+            JoinKind.RIGHT: JoinKind.LEFT, JoinKind.FULL: JoinKind.FULL}
+    if node.kind not in flip:
+        return node
+    memo: dict = {}
+    el = _estimate_rows(node.left, table_rows, memo)
+    er = _estimate_rows(node.right, table_rows, memo)
+    if er <= 2 * el:
+        return node
+    nl = len(node.left.schema)
+    nr = len(node.right.schema)
+    remap = {i: (i + nr if i < nl else i - nl)
+             for i in range(nl + nr)}
+    residual = (_remap_expr(node.residual, remap)
+                if node.residual is not None else None)
+    inner_schema = tuple(node.schema[nl:]) + tuple(node.schema[:nl])
+    inner = L.Join(node.right, node.left, flip[node.kind],
+                   node.right_keys, node.left_keys, residual, inner_schema,
+                   getattr(node, "null_aware_anti", True))
+    out_exprs = tuple(
+        L.BColumn(f.dtype, f.nullable, (j + nr) if j < nl else (j - nl),
+                  f.name)
+        for j, f in enumerate(node.schema))
+    return L.Projection(inner, out_exprs, tuple(node.schema))
 
 
 def _node_expr_slots(node):
