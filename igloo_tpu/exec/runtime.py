@@ -361,6 +361,12 @@ class Executor:
         prep_exprs = group_exprs + [a.arg for a in agg_specs if a.arg is not None]
         max_groups = _group_bound(rt, group_exprs)
 
+        from ..ops import tiny_agg
+        tiny = tiny_agg.tiny_gate(rt.cols, group_exprs, agg_specs)
+        if tiny is not None:
+            return self._run_aggregate_tiny(node, rt, group_exprs,
+                                            agg_specs, prep_exprs, tiny)
+
         mxu = _mxu_agg_plan(rt, group_exprs, agg_specs)
         if mxu is not None:
             return self._run_aggregate_mxu(node, rt, group_exprs, agg_specs,
@@ -397,6 +403,67 @@ class Executor:
                              spec.out_dtype, None))
             names.append(spec.out_name)
         return RTable(cols, names, new_mask, max_groups)
+
+    def _run_aggregate_tiny(self, node, rt, group_exprs, agg_specs,
+                            prep_exprs, tiny):
+        """Tiny-cardinality GROUP BY via masked reductions
+        (ops/tiny_agg.py): one fused bandwidth pass, no sort, covers
+        float sums / min / max / var the MXU kernel can't."""
+        from ..ops import tiny_agg
+
+        ng = len(group_exprs)
+        cap = pad_count(tiny.g)
+
+        def body(ctx, vvs, mask):
+            kv = [(v.arr, v.valid) for v in vvs[:ng]]
+            it = iter(vvs[ng:])
+            arg_vvs = []
+            for a in agg_specs:
+                if a.arg is None:
+                    arg_vvs.append(None)
+                else:
+                    v = next(it)
+                    arg_vvs.append((v.arr, v.valid))
+            slot = tiny_agg.tiny_slots(kv, tiny, mask)
+            ident = lambda x: x                              # noqa: E731
+            outs, nonempty = tiny_agg.tiny_reduce(
+                slot, tiny, agg_specs, arg_vvs, mask, ident, ident, ident)
+            gk = tiny_agg.tiny_group_keys(tiny, None)
+
+            def padg(x, fill=0):
+                if cap == tiny.g:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.full((cap - tiny.g,), fill, x.dtype)])
+            gk = [(padg(a), None if v is None else padg(v))
+                  for a, v in gk]
+            outs = [(padg(a), None if v is None else padg(v))
+                    for a, v in outs]
+            return gk, outs, padg(nonempty)
+
+        (gk, outs, nonempty), prep = self._eval_program(
+            rt, prep_exprs, "tinyagg", body)
+
+        cols = []
+        names = []
+        for (arr, valid), ge, f in zip(gk, group_exprs, node.schema[:ng]):
+            d = (rt.cols[ge.index].dictionary
+                 if isinstance(ge, L.BColumn) and f.dtype.is_string
+                 else None)
+            cols.append(RCol(_cast_physical(arr, f.dtype), valid,
+                             f.dtype, d))
+            names.append(f.name)
+        arg_iter = iter([a.arg for a in agg_specs if a.arg is not None])
+        for (arr, valid), spec in zip(outs, agg_specs):
+            d = None
+            if spec.arg is not None:
+                ae = next(arg_iter)
+                if spec.out_dtype.is_string:
+                    d = prep.out_dict(ae)
+            cols.append(RCol(_cast_physical(arr, spec.out_dtype), valid,
+                             spec.out_dtype, d))
+            names.append(spec.out_name)
+        return RTable(cols, names, nonempty, cap)
 
     def _run_aggregate_host(self, node, rt, group_exprs, agg_specs):
         """Aggregates with string outputs (string_agg): the device path

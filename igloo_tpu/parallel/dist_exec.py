@@ -278,7 +278,12 @@ class DistFragment:
                 self._preps[id(node)] = prep
                 dicts = [prep.out_dict(g) if f.dtype.is_string else None
                          for g, f in zip(node.group_exprs, node.schema)]
-                dicts += [None] * len(node.aggs)
+                # min/max/any_value over strings return codes of the
+                # argument's dictionary
+                dicts += [prep.out_dict(a.arg)
+                          if (a.out_dtype.is_string and a.arg is not None)
+                          else None
+                          for a in node.aggs]
         elif isinstance(node, L.Sort):
             prep = ExprPrep(child_dicts[0], self.functions)
             for k in node.keys:
@@ -760,6 +765,15 @@ class DistFragment:
             gvv = [VV(jnp.zeros((t.cap,), jnp.int32), None)]
             gbound = pad_count(1)
 
+        if node.group_exprs and not has_distinct:
+            from ..ops import tiny_agg
+            tiny = tiny_agg.tiny_gate(t.cols, node.group_exprs, node.aggs)
+            if tiny is not None:
+                # ≤TINY_G groups: masked reductions per shard, merged
+                # with ONE psum/pmin/pmax vector collective — no shuffle
+                return self._exec_aggregate_tiny(node, t, prep_key, tiny,
+                                                 gvv)
+
         if self.P == 1:
             if node.group_exprs and not has_distinct:
                 from ..exec.runtime import mxu_agg_gate
@@ -1013,6 +1027,68 @@ class DistFragment:
         else:
             out_alive = row0
         return STable(cols, names, out_alive, cap, prefix=True)
+
+    def _exec_aggregate_tiny(self, node, t: STable, prep_key, tiny,
+                             gvv) -> STable:
+        """Tiny-cardinality GROUP BY (ops/tiny_agg.py): per-shard masked
+        reductions, ONE collective merge, group rows emitted on shard 0."""
+        from ..ops import tiny_agg
+
+        P = self.P
+
+        def gsum(x):
+            return jax.lax.psum(x, "d") if P > 1 else x
+
+        def gmin(x):
+            return jax.lax.pmin(x, "d") if P > 1 else x
+
+        def gmax(x):
+            return jax.lax.pmax(x, "d") if P > 1 else x
+
+        arg_vvs = []
+        for a in node.aggs:
+            if a.arg is None:
+                arg_vvs.append(None)
+            else:
+                v = self._eval(a.arg, t, prep_key)
+                arg_vvs.append((v.arr, v.valid))
+        slot = tiny_agg.tiny_slots([(v.arr, v.valid) for v in gvv],
+                                   tiny, t.alive)
+        outs, nonempty = tiny_agg.tiny_reduce(
+            slot, tiny, node.aggs, arg_vvs, t.alive, gsum, gmin, gmax)
+        gk = tiny_agg.tiny_group_keys(tiny, None)
+
+        ng = len(node.group_exprs)
+        cap = pad_count(tiny.g)
+
+        def padg(x, fill=0):
+            if cap == tiny.g:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((cap - tiny.g,), fill, x.dtype)])
+
+        prep = self._preps[prep_key]
+        cols = []
+        for (arr, valid), ge, f in zip(gk, node.group_exprs,
+                                       node.schema[:ng]):
+            d = (t.cols[ge.index].dictionary
+                 if isinstance(ge, L.BColumn) and f.dtype.is_string
+                 else None)
+            cols.append(SCol(padg(arr).astype(f.dtype.to_jax()),
+                             None if valid is None else padg(valid),
+                             f.dtype, d))
+        for (arr, valid), spec in zip(outs, node.aggs):
+            d = (prep.out_dict(spec.arg)
+                 if spec.out_dtype.is_string and spec.arg is not None
+                 else None)
+            cols.append(SCol(padg(arr).astype(spec.out_dtype.to_jax()),
+                             None if valid is None else padg(valid),
+                             spec.out_dtype, d))
+        alive = padg(nonempty)
+        if P > 1:
+            alive = alive & (jax.lax.axis_index("d") == 0)
+        names = [f.name for f in node.schema]
+        return STable(cols, names, alive, cap)
 
     def _exec_aggregate_mxu(self, node, t: STable, prep_key, mxu) -> STable:
         """Dense-small-key GROUP BY on the MXU (P==1 fast path)."""
