@@ -572,7 +572,7 @@ class Executor:
         with rows); keys are lo + arange(G)."""
         from ..ops.pallas.groupby_mxu import groupby_onehot_sums
 
-        lo, span, g_pad = mxu
+        lo, span, g_pad, digits = mxu
         interpret = jax.default_backend() != "tpu"
 
         def body(ctx, vvs, mask):
@@ -598,9 +598,9 @@ class Executor:
                     cols.append(jnp.where(w, v.arr, 0).astype(jnp.float32))
                     cols.append(wf)
                     plan.append((a, a.func, len(cols) - 2, len(cols) - 1))
-            contribs = jnp.stack(cols, axis=1)
+            contribs = jnp.stack(cols, axis=0)
             sums = groupby_onehot_sums(slot, contribs, g_pad,
-                                       interpret=interpret)
+                                       digits=digits, interpret=interpret)
             presence = sums[:, 0]
             out_aggs = []
             for a, kind, ci, cj in plan:
@@ -772,10 +772,14 @@ def mxu_agg_gate(cols, capacity, group_exprs, agg_specs):
     single non-nullable dense-small-span key + count/sum/avg aggregates
     whose integer bounds keep the digit decomposition exact.
     cols: objects with .valid/.dtype/.dictionary/.stats (RCol or SCol).
-    Returns (lo, span, g_pad) or None."""
+    Returns (lo, span, g_pad, digits) or None; digits is the base-256
+    digit count per contribution column in the order the exec bodies
+    build them (presence, then per agg: count -> 1 col, sum/avg ->
+    value + valid-count cols)."""
     import os
 
-    from ..ops.pallas.groupby_mxu import supported_span_aggs
+    from ..ops.pallas.groupby_mxu import (column_digits, plan_shape,
+                                          supported_span_aggs)
     from ..table import pad_count
 
     if os.environ.get("IGLOO_DISABLE_MXU_AGG"):
@@ -815,7 +819,19 @@ def mxu_agg_gate(cols, capacity, group_exprs, agg_specs):
         bounds.append(b)
     if not supported_span_aggs(funcs, dtypes, bounds, capacity):
         return None
-    return lo, span, pad_count(span, 8)
+    digits = [1]                       # presence column
+    for f, b in zip(funcs, bounds):
+        if f == "count_star":
+            continue
+        if f == "count":
+            digits.append(1)
+        else:                          # sum / avg: value + valid-count
+            digits.append(column_digits(f, b, capacity))
+            digits.append(1)
+    g_pad = pad_count(span, 8)
+    if plan_shape(g_pad, tuple(digits)) is None:
+        return None                    # M would exceed one MXU tile
+    return lo, span, g_pad, tuple(digits)
 
 
 def _group_bound(rt: RTable, group_exprs) -> int:

@@ -191,12 +191,15 @@ class DistFragment:
             in_specs = []
             for node in scan_nodes:
                 pt = self.ptables[node.table.lower()]
+                # P==1 meshes store columns flat (cap,) — pass them
+                # unsharded to avoid a (1,cap)→(cap,) relayout copy
+                col_spec = P() if self.P == 1 else P("d", None)
                 for f in node.schema:
                     c = pt.cols[f.name]
                     in_arrays.append(c.data)
-                    in_specs.append(P("d", None))
+                    in_specs.append(col_spec)
                     in_arrays.append(c.valid)
-                    in_specs.append(P("d", None) if c.valid is not None
+                    in_specs.append(col_spec if c.valid is not None
                                     else None)
                 in_arrays.append(pt.counts)
                 in_specs.append(P("d"))
@@ -355,13 +358,16 @@ class DistFragment:
             self._aux_cursor = {"list": aux, "pos": 0}
             it = iter(flat_inputs)
             env: dict[int, STable] = {}
+            flat1 = self.P == 1     # flat (cap,) columns, no shard axis
             for node in scan_nodes:
                 cols = []
                 names = []
                 for f in node.schema:
-                    data = next(it)[0]          # (cap,) after shard squeeze
+                    data = next(it)             # (cap,) after shard squeeze
+                    data = data if flat1 else data[0]
                     valid = next(it)
-                    valid = valid[0] if valid is not None else None
+                    if valid is not None and not flat1:
+                        valid = valid[0]
                     pt = self.ptables[node.table.lower()]
                     cols.append(SCol(data, valid, f.dtype,
                                      pt.cols[f.name].dictionary,
@@ -391,12 +397,13 @@ class DistFragment:
                 c_arrs, c_valids, count = compact(
                     out.alive, [c.arr for c in out.cols],
                     [c.valid for c in out.cols])
-            arrs = [a[None] for a in c_arrs]
-            valids = [
-                (v if v is not None else jnp.ones((out.cap,), jnp.bool_))[None]
-                for v in c_valids
-            ]
-            return arrs, valids, count[None], overflow
+            valids = [(v if v is not None
+                       else jnp.ones((out.cap,), jnp.bool_))
+                      for v in c_valids]
+            if not flat1:
+                c_arrs = [a[None] for a in c_arrs]
+                valids = [v[None] for v in valids]
+            return c_arrs, valids, count[None], overflow
 
         # build the shard_map + jit ONCE — constructing them per call would
         # change function identity and force a retrace + remote recompile
@@ -413,11 +420,12 @@ class DistFragment:
             self._overflow_flags = []
             if state["fn"] is None:
                 specs_in = tuple(in_specs) + tuple([P()] * len(aux_arrays))
+                col_out = P() if self.P == 1 else P("d", None)
                 sm = jax.shard_map(
                     wrapped, mesh=self.mesh,
                     in_specs=specs_in,
-                    out_specs=([P("d", None)] * n_out,
-                               [P("d", None)] * n_out,
+                    out_specs=([col_out] * n_out,
+                               [col_out] * n_out,
                                P("d"), P()),
                     check_vma=False)
                 state["fn"] = jax.jit(sm)
@@ -1094,7 +1102,7 @@ class DistFragment:
         """Dense-small-key GROUP BY on the MXU (P==1 fast path)."""
         from ..ops.pallas.groupby_mxu import groupby_onehot_sums
 
-        lo, span, g_pad = mxu
+        lo, span, g_pad, digits = mxu
         interpret = jax.default_backend() != "tpu"
         key_vv = self._eval(node.group_exprs[0], t, prep_key)
         alive = t.alive
@@ -1116,8 +1124,9 @@ class DistFragment:
                 cols.append(jnp.where(w, v.arr, 0).astype(jnp.float32))
                 cols.append(wf)
                 plan.append((a, a.func, len(cols) - 2, len(cols) - 1))
-        contribs = jnp.stack(cols, axis=1)
-        sums = groupby_onehot_sums(slot, contribs, g_pad, interpret=interpret)
+        contribs = jnp.stack(cols, axis=0)
+        sums = groupby_onehot_sums(slot, contribs, g_pad, digits=digits,
+                                   interpret=interpret)
         presence = sums[:, 0]
         out_cols = [SCol((lo + jnp.arange(g_pad, dtype=jnp.int64)).astype(
             node.schema[0].dtype.to_jax()), None, node.schema[0].dtype,

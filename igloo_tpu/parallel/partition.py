@@ -28,12 +28,6 @@ from ..dtypes import SqlType
 from .mesh import global_get, row_sharding
 
 
-@jax.jit
-def _squeeze_parts(*xs):
-    """(1, cap) fragment outputs → (cap,) views, all in one program."""
-    return tuple(x[0] for x in xs)
-
-
 def _mix64_np(x: np.ndarray) -> np.ndarray:
     x = x.astype(np.uint64, copy=True)
     with np.errstate(over="ignore"):
@@ -47,8 +41,8 @@ def _mix64_np(x: np.ndarray) -> np.ndarray:
 
 @dataclasses.dataclass
 class PartCol:
-    data: jax.Array                     # (P, cap)
-    valid: Optional[jax.Array]          # (P, cap) or None
+    data: jax.Array                     # (P, cap); (cap,) on a P==1 mesh
+    valid: Optional[jax.Array]          # same shape as data, or None
     dtype: SqlType
     dictionary: Optional[np.ndarray] = None
     stats: Optional[tuple] = None       # (min, max) for integer columns
@@ -65,12 +59,11 @@ class PartitionedTable:
 
     @property
     def num_parts(self) -> int:
-        return next(iter(self.cols.values())).data.shape[0] if self.cols else \
-            self.counts.shape[0]
+        return self.counts.shape[0]
 
     @property
     def cap_per_part(self) -> int:
-        return next(iter(self.cols.values())).data.shape[1]
+        return next(iter(self.cols.values())).data.shape[-1]
 
     def schema(self):
         return [(n, c.dtype) for n, c in self.cols.items()]
@@ -82,11 +75,13 @@ class PartitionedTable:
         P = int(np.prod(mesh.devices.shape))
         n = dt.nrows
         if P == 1:
-            # trivial mesh: device-side reshape, no host roundtrip
+            # trivial mesh: keep columns flat (cap,) — a (1, cap) view
+            # forces a T(1,128)→T(1024) relayout copy (~2 ms / 100M col)
+            # inside every fragment program that squeezes it back
             cols1 = {
                 name: PartCol(
-                    data=c.data[None], dtype=c.dtype,
-                    valid=c.validity[None] if c.validity is not None else None,
+                    data=c.data, dtype=c.dtype,
+                    valid=c.validity,
                     dictionary=c.dictionary, stats=getattr(c, "stats", None))
                 for name, c in dt.columns.items()
             }
@@ -147,29 +142,17 @@ class PartitionedTable:
     def to_device_table(self) -> DeviceTable:
         """Gather all partitions into a single (host-ordered) table."""
         if self.num_parts == 1:
-            # trivial mesh: device-side view; reuse the already-pulled
-            # count when the fragment runner fetched it (saves a ~25 ms
-            # tunnel round trip per query)
+            # trivial mesh: columns are stored flat (cap,) — zero-copy
+            # wrap; reuse the already-pulled count when the fragment
+            # runner fetched it (saves a ~25 ms tunnel round trip)
             ch = self.counts_host
             total = int((ch if ch is not None
                          else np.asarray(jax.device_get(self.counts)))[0])
-            # ONE squeeze program for every column+validity — per-array
-            # indexing would dispatch a dynamic_slice + squeeze program
-            # per column (measured ~1ms device + a dispatch each)
-            flat = []
-            for c in self.cols.values():
-                flat.append(c.data)
-                if c.valid is not None:
-                    flat.append(c.valid)
-            sq = list(_squeeze_parts(*flat)) if flat else []
-            it = iter(sq)
-            columns = {}
-            for name, c in self.cols.items():
-                data = next(it)
-                valid = next(it) if c.valid is not None else None
-                columns[name] = Column(data=data, dtype=c.dtype,
-                                       validity=valid,
-                                       dictionary=c.dictionary)
+            columns = {
+                name: Column(data=c.data, dtype=c.dtype, validity=c.valid,
+                             dictionary=c.dictionary)
+                for name, c in self.cols.items()
+            }
             return DeviceTable(columns, total)
         counts = (self.counts_host if self.counts_host is not None
                   else global_get(self.counts))
