@@ -7,13 +7,29 @@ speed-of-light fraction: measured rows/s divided by the HBM-bandwidth
 roofline for the benchmark's byte traffic (BASELINE.json's stated per-chip
 performance bar). 1.0 = memory-bandwidth-bound optimum.
 
-Sub-benchmarks (BASELINE.json configs):
-  #1 filter+projection      (SELECT name WHERE age > 25 shape, scaled up)
-  #2 hash aggregate         (low-cardinality GROUP BY SUM/COUNT)
-  #3 hash join              (fact ⋈ dim + post-join filter)
-  #4 sort / top-k           (ORDER BY over int64 keys)
+Two timings are reported per config:
+  wall    — median wall-clock through the dev tunnel (pays a ~25 ms
+            dispatch+sync floor per program; see CLAUDE.md TIMING TRAP)
+  device  — TPU-measured busy time of every XLA module the query runs,
+            from an xplane profiler trace (trustworthy through the
+            tunnel). vs_baseline and the headline geomean use DEVICE
+            time: it is what production (no tunnel) pays.
 
-The headline metric is the geometric mean of per-config rows/s.
+Sub-benchmarks (BASELINE.json configs) and their traffic models (the
+roofline denominator, bytes per input row; "+w" = write traffic):
+  #1 filter+projection   read age(4)+name(4), +w compacted name(4)
+                         and the i8 mask plane(1)          = 13 B/row
+  #2 hash aggregate      read k(4)+v(4); group-count output
+                         is negligible                     = 8 B/row
+  #3 hash join           read okey(4)+qty(4), probe lookups
+                         hit VMEM, +w matched-sum partials
+                         (negligible); mask plane(4)       = 12 B/row
+  #4 sort / top-k        read k(8), threshold scan +w u64
+                         candidates (negligible at 0.2%
+                         selectivity) — one more full read
+                         for the candidate extraction      = 16 B/row
+
+The headline metric is the geometric mean of per-config rows/s (device).
 """
 
 from __future__ import annotations
@@ -21,6 +37,7 @@ from __future__ import annotations
 import json
 import math
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -28,6 +45,22 @@ import numpy as np
 
 def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _device_seconds(trace_dir: str) -> float:
+    """Sum of device busy time over every XLA module in the trace."""
+    from scripts.xplane import module_times
+    return sum(dur for _, dur in module_times(trace_dir)) / 1e6
+
+
+def _time_device(eng, sql: str) -> float:
+    """TPU-measured device time of one steady-state run of `sql`."""
+    import jax
+    with tempfile.TemporaryDirectory(prefix="igloo_bench_prof_") as td:
+        with jax.profiler.trace(td):
+            eng.sql(sql)
+            jax.effects_barrier()
+        return _device_seconds(td)
 
 
 def _hbm_bandwidth_gbps() -> float:
@@ -72,6 +105,17 @@ def main() -> None:
 
     results = {}
 
+    def run(name: str, sql: str, n_rows: int, bytes_per_row: float) -> None:
+        wall = _time_query(eng, sql)
+        dev = _time_device(eng, sql)
+        roofline = bw / bytes_per_row
+        rows_s = n_rows / dev
+        results[name] = {
+            "rows_per_s": rows_s, "seconds": dev, "wall_seconds": wall,
+            "sol": rows_s / roofline}
+        _log(f"{name}: device {dev*1e3:.1f}ms wall {wall*1e3:.1f}ms "
+             f"sol {rows_s / roofline:.4f}")
+
     # ---- config #1: filter + projection ----
     n1 = 1 << 26
     _log("generating filter table")
@@ -79,12 +123,8 @@ def main() -> None:
         "age": pa.array(rng.integers(0, 100, n1), type=pa.int32()),
         "name": pa.array(rng.integers(0, 100_000, n1), type=pa.int32()),
     }))
-    t = _time_query(eng, "SELECT name FROM people WHERE age > 25")
-    rows_s = n1 / t
-    # traffic: read age(4) + name(4), write compacted name(4) + mask bytes
-    roofline = bw / (4 + 4 + 4 + 1)
-    results["filter_projection"] = {
-        "rows_per_s": rows_s, "seconds": t, "sol": rows_s / roofline}
+    run("filter_projection", "SELECT name FROM people WHERE age > 25",
+        n1, 13)
 
     # ---- config #2: low-cardinality hash aggregate ----
     n2 = 100_000_000   # BASELINE config #2: 100M rows
@@ -93,12 +133,9 @@ def main() -> None:
         "k": pa.array(rng.integers(0, 256, n2), type=pa.int32()),
         "v": pa.array(rng.integers(0, 1000, n2), type=pa.int32()),
     }))
-    t = _time_query(
-        eng, "SELECT k, sum(v) AS s, count(*) AS c FROM events GROUP BY k")
-    rows_s = n2 / t
-    roofline = bw / (4 + 4)
-    results["hash_aggregate"] = {
-        "rows_per_s": rows_s, "seconds": t, "sol": rows_s / roofline}
+    run("hash_aggregate",
+        "SELECT k, sum(v) AS s, count(*) AS c FROM events GROUP BY k",
+        n2, 8)
 
     # ---- config #3: fact-dim hash join + post-join filter ----
     n3 = 1 << 24
@@ -112,14 +149,10 @@ def main() -> None:
         "okey": pa.array(np.arange(ndim), type=pa.int32()),
         "prio": pa.array(rng.integers(0, 5, ndim), type=pa.int32()),
     }))
-    t = _time_query(
-        eng,
+    run("hash_join",
         "SELECT sum(qty) AS s FROM lineitem JOIN orders "
-        "ON lineitem.okey = orders.okey WHERE prio < 3")
-    rows_s = n3 / t
-    roofline = bw / (4 + 4 + 4)   # probe-side traffic per row (approx)
-    results["hash_join"] = {
-        "rows_per_s": rows_s, "seconds": t, "sol": rows_s / roofline}
+        "ON lineitem.okey = orders.okey WHERE prio < 3",
+        n3, 12)
 
     # ---- config #4: sort / top-k ----
     n4 = 1 << 25
@@ -127,11 +160,7 @@ def main() -> None:
     eng.register_table("keys64", pa.table({
         "k": pa.array(rng.integers(0, 1 << 62, n4), type=pa.int64()),
     }))
-    t = _time_query(eng, "SELECT k FROM keys64 ORDER BY k LIMIT 1000")
-    rows_s = n4 / t
-    roofline = bw / (8 * 2 * 4)   # multi-pass sort traffic estimate
-    results["sort_topk"] = {
-        "rows_per_s": rows_s, "seconds": t, "sol": rows_s / roofline}
+    run("sort_topk", "SELECT k FROM keys64 ORDER BY k LIMIT 1000", n4, 16)
 
     geo = math.exp(sum(math.log(r["rows_per_s"]) for r in results.values())
                    / len(results))
@@ -145,7 +174,8 @@ def main() -> None:
         "vs_baseline": round(geo_sol, 4),
         "details": {
             k: {"rows_per_s": round(v["rows_per_s"]),
-                "seconds": round(v["seconds"], 4),
+                "device_seconds": round(v["seconds"], 4),
+                "wall_seconds": round(v["wall_seconds"], 4),
                 "speed_of_light_fraction": round(v["sol"], 4)}
             for k, v in results.items()
         },

@@ -570,44 +570,28 @@ class Executor:
 
         Output: one row per value in the key span (sparse mask = groups
         with rows); keys are lo + arange(G)."""
-        from ..ops.pallas.groupby_mxu import groupby_onehot_sums
+        from ..ops.pallas.groupby_mxu import (build_fused_call,
+                                              groupby_fused_sums)
 
-        lo, span, g_pad, digits = mxu
+        lo, span, g_pad, agg_digits = mxu
         interpret = jax.default_backend() != "tpu"
 
         def body(ctx, vvs, mask):
-            key = vvs[0]
-            alive = mask if mask is not None else jnp.ones((rt.capacity,),
-                                                           jnp.bool_)
-            slot = jnp.where(alive, key.arr.astype(jnp.int32) - lo, g_pad)
-            slot = jnp.where((slot >= 0) & (slot < span), slot, g_pad)
-            it = iter(vvs[1:])
-            cols = [alive.astype(jnp.float32)]          # presence / count(*)
-            plan = []                                   # (agg, kind, col idx…)
-            for a in agg_specs:
-                if a.arg is None:
-                    plan.append((a, "count_star", 0, None))
-                    continue
-                v = next(it)
-                w = alive if v.valid is None else (alive & v.valid)
-                wf = w.astype(jnp.float32)
-                if a.func == "count":
-                    cols.append(wf)
-                    plan.append((a, "count", len(cols) - 1, None))
-                else:  # sum / avg: value column + valid-count column
-                    cols.append(jnp.where(w, v.arr, 0).astype(jnp.float32))
-                    cols.append(wf)
-                    plan.append((a, a.func, len(cols) - 2, len(cols) - 1))
-            contribs = jnp.stack(cols, axis=0)
-            sums = groupby_onehot_sums(slot, contribs, g_pad,
-                                       digits=digits, interpret=interpret)
+            karr, lo_k = vvs[0].arr, lo
+            if karr.dtype in (jnp.int64, jnp.uint64) and not (
+                    -2 ** 31 <= lo and lo + span < 2 ** 31):
+                karr, lo_k = (karr - lo).astype(jnp.int32), 0
+            values, masks, col_spec, plan = build_fused_call(
+                agg_specs, agg_digits, vvs[1:])
+            sums = groupby_fused_sums(
+                karr.astype(jnp.int32), mask, values, masks,
+                lo_key=lo_k, span=span, g_pad=g_pad, col_spec=col_spec,
+                interpret=interpret)
             presence = sums[:, 0]
             out_aggs = []
-            for a, kind, ci, cj in plan:
-                if kind == "count_star":
-                    out_aggs.append((presence.astype(jnp.int64), None))
-                elif kind == "count":
-                    out_aggs.append((sums[:, ci].astype(jnp.int64), None))
+            for kind, ci, cj in plan:
+                if kind in ("count_star", "count"):
+                    out_aggs.append((sums[:, cj].astype(jnp.int64), None))
                 elif kind == "sum":
                     cnt = sums[:, cj]
                     out_aggs.append((sums[:, ci].astype(jnp.int64), cnt > 0))
@@ -772,10 +756,11 @@ def mxu_agg_gate(cols, capacity, group_exprs, agg_specs):
     single non-nullable dense-small-span key + count/sum/avg aggregates
     whose integer bounds keep the digit decomposition exact.
     cols: objects with .valid/.dtype/.dictionary/.stats (RCol or SCol).
-    Returns (lo, span, g_pad, digits) or None; digits is the base-256
-    digit count per contribution column in the order the exec bodies
-    build them (presence, then per agg: count -> 1 col, sum/avg ->
-    value + valid-count cols)."""
+    Returns (lo, span, g_pad, agg_digits) or None; agg_digits is the
+    per-agg base-256 digit count of the value column (None for counts).
+    Feasibility (M <= one MXU tile) is checked against the worst-case
+    contribution layout; the body may dedupe valid-count columns onto
+    presence, which only shrinks M."""
     import os
 
     from ..ops.pallas.groupby_mxu import (column_digits, plan_shape,
@@ -819,19 +804,24 @@ def mxu_agg_gate(cols, capacity, group_exprs, agg_specs):
         bounds.append(b)
     if not supported_span_aggs(funcs, dtypes, bounds, capacity):
         return None
-    digits = [1]                       # presence column
+    worst = [1]                        # presence column
+    agg_digits = []
     for f, b in zip(funcs, bounds):
         if f == "count_star":
+            agg_digits.append(None)
             continue
         if f == "count":
-            digits.append(1)
+            agg_digits.append(None)
+            worst.append(1)
         else:                          # sum / avg: value + valid-count
-            digits.append(column_digits(f, b, capacity))
-            digits.append(1)
+            d = column_digits(f, b, capacity)
+            agg_digits.append(d)
+            worst.append(d)
+            worst.append(1)
     g_pad = pad_count(span, 8)
-    if plan_shape(g_pad, tuple(digits)) is None:
+    if plan_shape(g_pad, tuple(worst)) is None:
         return None                    # M would exceed one MXU tile
-    return lo, span, g_pad, tuple(digits)
+    return lo, span, g_pad, tuple(agg_digits)
 
 
 def _group_bound(rt: RTable, group_exprs) -> int:

@@ -1100,45 +1100,33 @@ class DistFragment:
 
     def _exec_aggregate_mxu(self, node, t: STable, prep_key, mxu) -> STable:
         """Dense-small-key GROUP BY on the MXU (P==1 fast path)."""
-        from ..ops.pallas.groupby_mxu import groupby_onehot_sums
+        from ..ops.pallas.groupby_mxu import (build_fused_call,
+                                              groupby_fused_sums)
 
-        lo, span, g_pad, digits = mxu
+        lo, span, g_pad, agg_digits = mxu
         interpret = jax.default_backend() != "tpu"
         key_vv = self._eval(node.group_exprs[0], t, prep_key)
-        alive = t.alive
-        slot = jnp.where(alive, key_vv.arr.astype(jnp.int32) - lo, g_pad)
-        slot = jnp.where((slot >= 0) & (slot < span), slot, g_pad)
-        cols = [alive.astype(jnp.float32)]
-        plan = []
-        for a in node.aggs:
-            if a.arg is None:
-                plan.append((a, "count_star", 0, None))
-                continue
-            v = self._eval(a.arg, t, prep_key)
-            w = alive if v.valid is None else (alive & v.valid)
-            wf = w.astype(jnp.float32)
-            if a.func == "count":
-                cols.append(wf)
-                plan.append((a, "count", len(cols) - 1, None))
-            else:
-                cols.append(jnp.where(w, v.arr, 0).astype(jnp.float32))
-                cols.append(wf)
-                plan.append((a, a.func, len(cols) - 2, len(cols) - 1))
-        contribs = jnp.stack(cols, axis=0)
-        sums = groupby_onehot_sums(slot, contribs, g_pad, digits=digits,
-                                   interpret=interpret)
+        karr, lo_k = key_vv.arr, lo
+        if karr.dtype in (jnp.int64, jnp.uint64) and not (
+                -2 ** 31 <= lo and lo + span < 2 ** 31):
+            karr, lo_k = (karr - lo).astype(jnp.int32), 0
+        vvs_aggs = [self._eval(a.arg, t, prep_key)
+                    for a in node.aggs if a.arg is not None]
+        values, masks, col_spec, plan = build_fused_call(
+            node.aggs, agg_digits, vvs_aggs)
+        sums = groupby_fused_sums(
+            karr.astype(jnp.int32), t.alive, values, masks,
+            lo_key=lo_k, span=span, g_pad=g_pad, col_spec=col_spec,
+            interpret=interpret)
         presence = sums[:, 0]
         out_cols = [SCol((lo + jnp.arange(g_pad, dtype=jnp.int64)).astype(
             node.schema[0].dtype.to_jax()), None, node.schema[0].dtype,
             self._preps[prep_key].out_dict(node.group_exprs[0])
             if node.schema[0].dtype.is_string else None)]
         names = [node.schema[0].name]
-        for (a, kind, ci, cj), f in zip(plan, node.schema[1:]):
-            if kind == "count_star":
-                out_cols.append(SCol(presence.astype(jnp.int64), None,
-                                     f.dtype, None))
-            elif kind == "count":
-                out_cols.append(SCol(sums[:, ci].astype(jnp.int64), None,
+        for (kind, ci, cj), f in zip(plan, node.schema[1:]):
+            if kind in ("count_star", "count"):
+                out_cols.append(SCol(sums[:, cj].astype(jnp.int64), None,
                                      f.dtype, None))
             elif kind == "sum":
                 cnt = sums[:, cj]

@@ -31,7 +31,10 @@ import pyarrow as pa
 
 from .dtypes import SqlType, from_arrow as sqltype_from_arrow, numpy_dtype
 
-PAD = 128  # lane width; all column lengths are multiples of this
+PAD = 8192  # grid-step alignment: every column length divides the Pallas
+            # kernels' 8192-row grid step, so pallas_call grids are exact
+            # (ragged final blocks DMA past the tile-padded allocation and
+            # fault the TPU) and the in-jit pad/copy paths never trigger
 
 
 def pad_count(n: int, pad: int = PAD) -> int:

@@ -7,10 +7,12 @@ from igloo_tpu.table import DeviceTable, pad_count
 
 
 def test_pad_count():
-    assert pad_count(0) == 128
-    assert pad_count(1) == 128
-    assert pad_count(128) == 128
-    assert pad_count(129) == 256
+    # capacities divide the Pallas kernels' 8192-row grid step so every
+    # pallas_call grid is exact (table.py PAD)
+    assert pad_count(0) == 8192
+    assert pad_count(1) == 8192
+    assert pad_count(8192) == 8192
+    assert pad_count(8193) == 16384
 
 
 def test_numeric_roundtrip():
@@ -20,7 +22,7 @@ def test_numeric_roundtrip():
         "b": pa.array([True, False, None, True]),
     })
     dt = DeviceTable.from_arrow(t)
-    assert dt.nrows == 4 and dt.capacity == 128
+    assert dt.nrows == 4 and dt.capacity == 8192
     out = dt.to_arrow()
     assert out.to_pydict() == t.to_pydict()
 
