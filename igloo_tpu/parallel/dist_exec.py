@@ -590,7 +590,207 @@ class DistFragment:
         candidate_count ∈ [min(m, alive), capacity]; a miss raises the
         fragment's overflow flag and the host retries with doubled slack.
         (The reference has no top-k path at all — DataFusion's
-        SortExec + GlobalLimitExec sort everything.)"""
+        SortExec + GlobalLimitExec sort everything.)
+
+        Two implementations: _topk_prune_fused does the threshold
+        compare + candidate extraction in ONE Pallas sweep over the
+        table (ops/pallas/extract.py); the general XLA path below
+        remains for key dtypes the kernel does not rank in-VMEM."""
+        import os
+
+        if not os.environ.get("IGLOO_DISABLE_FUSED_TOPK"):
+            out = self._topk_prune_fused(t, key_specs, m)
+            if out is not NotImplemented:
+                return out
+        return self._topk_prune_general(t, key_specs, m)
+
+    @staticmethod
+    def _extract_key_class(arr):
+        dt = arr.dtype
+        if dt in (jnp.int64,):
+            return "i64"
+        if dt in (jnp.int32, jnp.int16, jnp.int8, jnp.bool_):
+            return "i32"
+        if dt == jnp.float32:
+            return "fbits"
+        if dt == jnp.float64:
+            return "fbits64"          # f32-bit plane precomputed outside
+        return None
+
+    def _topk_prune_fused(self, t: STable, key_specs, m: int):
+        """One-pass candidate extraction (see _topk_prune docstring).
+
+        The sample that picks the threshold is row-strided (whole
+        128-lane rows) so it reads ~S*4 bytes instead of sweeping the
+        array; the threshold compare, candidate count, alive count and
+        row-sparse extraction all happen inside extract_candidate_rows;
+        a dense compaction over the ~128x smaller candidate-row buffer
+        finishes. Output and overflow semantics are identical to the
+        general path (verified by tests/test_topk_prune.py which runs
+        both)."""
+        import math
+
+        from ..ops.gather_ops import _planes_of, _rebuild
+        from ..ops.pallas.extract import extract_candidate_rows
+        from ..ops.masks import compact
+
+        n = t.cap
+        factor = self.shuffle_factor
+        if m <= 0 or n < (1 << 18) or n % 8192:
+            return None if n < (1 << 18) else NotImplemented
+        classes = [self._extract_key_class(a) for a, _, _, _ in key_specs]
+        if any(c is None for c in classes):
+            return NotImplemented
+        S = min(1 << 16, n)
+        SR = S // 128                          # sample rows of 128 lanes
+        r = n // 128
+        stride = max(n // S, 1)
+        rstride = max(r // SR, 1)
+        j = -(-m * S // n)
+        slack = (4 * math.isqrt(j + 1) + 16) * factor
+        j_up = min(S - 1, j + slack)
+        base_cap = (2 * (j_up + 2) * stride + 8192) * max(factor // 4, 1)
+        if base_cap >= min(n, 1 << 20):
+            return None                 # degenerate — full sort instead
+        cap = pad_count(min(n, base_cap))
+        # candidate ROWS: worst case one candidate per 128-lane row
+        cap_rows = min(-(-cap // 64) * 64,
+                       -(-r // 64) * 64,
+                       (256 << 20) // ((len(t.cols) + 3) * 512))
+        if cap_rows < 256:
+            return NotImplemented
+
+        # ---- build deduped planes + key specs for the kernel ----
+        plane_slot: dict[int, tuple] = {}
+        valid_slot: dict[int, int] = {}
+        planes: list = []
+        valids: list = []
+        recipes: list = []              # per unique array: (slot, n, dt)
+
+        def add_arr(a):
+            if id(a) not in plane_slot:
+                ps, dt = _planes_of(a)
+                plane_slot[id(a)] = (len(planes), len(ps), dt)
+                planes.extend(ps)
+            return plane_slot[id(a)]
+
+        def add_valid(v):
+            if v is None:
+                return None
+            if id(v) not in valid_slot:
+                valid_slot[id(v)] = len(valids)
+                valids.append(v)
+            return valid_slot[id(v)]
+
+        col_rec = [(add_arr(c.arr), add_valid(c.valid)) for c in t.cols]
+        kspecs = []
+        for (a, v, asc, nf), klass in zip(key_specs, classes):
+            vi = add_valid(v)
+            if klass == "fbits64":
+                bits = jax.lax.bitcast_convert_type(
+                    a.astype(jnp.float32), jnp.int32)
+                pl0 = len(planes)
+                planes.append(bits)
+                pidx = (pl0,)
+                klass = "fbits"
+            else:
+                slot, npl, _dt = add_arr(a)
+                if klass == "i64":
+                    # _planes_of order is (lo, hi); rank wants (hi, lo)
+                    pidx = (slot + 1, slot)
+                elif klass == "i32" and a.dtype != jnp.int32:
+                    # widened copy as its own plane (bool/i16/i8)
+                    pl0 = len(planes)
+                    planes.append(a.astype(jnp.int32))
+                    pidx = (pl0,)
+                else:
+                    pidx = (slot,)
+            kspecs.append((klass, vi is not None, asc, nf, pidx,
+                           vi if vi is not None else 0))
+        key_rec = [(add_arr(a), add_valid(v)) for a, v, _, _ in key_specs]
+
+        # ---- row-strided sample -> threshold tuple ----
+        off0 = (7919 * factor) % rstride
+        rows_sel = off0 + rstride * jnp.arange(SR, dtype=jnp.int32)
+        idx_s = (rows_sel[:, None] * 128
+                 + jnp.arange(128, dtype=jnp.int32)[None, :]).reshape(-1)
+        alive_s = t.alive.reshape(r, 128)[rows_sel, :].reshape(-1)
+        umax = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        samp = []
+        for a, v, asc, nf in key_specs:
+            a_s = a.reshape(r, 128)[rows_sel, :].reshape(-1)
+            v_s = (v.reshape(r, 128)[rows_sel, :].reshape(-1)
+                   if v is not None else None)
+            samp.append(jnp.where(alive_s,
+                                  _orderable_rank(a_s, v_s, asc, nf),
+                                  umax))
+        idx_d_s = jnp.where(alive_s, idx_s, jnp.int32(0x7FFFFFFF))
+        srt = jax.lax.sort(samp + [idx_d_s], num_keys=len(samp) + 1)
+        t_ranks = [s[j_up] for s in srt[:-1]]
+        t_i = srt[-1][j_up]
+
+        words = [t_i.astype(jnp.int32)]
+        for tr in t_ranks:
+            words.append(jax.lax.bitcast_convert_type(
+                (tr >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32))
+            words.append(jax.lax.bitcast_convert_type(
+                (tr & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                jnp.int32))
+        thr = jnp.stack(words)
+
+        interpret = jax.default_backend() != "tpu"
+        out_planes, out_valids, out_mask, stats = extract_candidate_rows(
+            thr, t.alive, tuple(planes), tuple(valids),
+            key_specs=tuple(kspecs), cap_rows=cap_rows,
+            interpret=interpret)
+
+        rows_used, cnt, n_alive, ovf = (stats[0], stats[1], stats[2],
+                                        stats[3])
+        rowix = jax.lax.broadcasted_iota(jnp.int32, (cap_rows, 1), 0)
+        mask_flat = ((out_mask != 0)
+                     & (rowix < rows_used)).reshape(cap_rows * 128)
+
+        # rebuild flat arrays from the extracted planes, then a dense
+        # element compaction over the (~128x smaller) candidate rows;
+        # validity masks ride along as data columns
+        ne = cap_rows * 128
+        slot_to_arridx = {}
+        flat_arrays = []
+        for slot, npl, dt in plane_slot.values():
+            slot_to_arridx[slot] = len(flat_arrays)
+            flat_arrays.append(_rebuild(
+                [out_planes[slot + k].reshape(ne) for k in range(npl)],
+                dt))
+        valid_arrays = [(out_valids[i] != 0).reshape(ne)
+                        for i in range(len(valids))]
+        c_arrs, _cv, _cnt2 = compact(
+            mask_flat, flat_arrays + valid_arrays,
+            [None] * (len(flat_arrays) + len(valid_arrays)))
+
+        ok = ((cnt >= jnp.minimum(jnp.int32(m), n_alive))
+              & (cnt <= cap) & (ovf == 0))
+        self._overflow_flags.append(~ok)
+
+        def take(rec):
+            (slot, npl, dt), vi = rec
+            a = c_arrs[slot_to_arridx[slot]][:cap]
+            v = (c_arrs[len(flat_arrays) + vi][:cap]
+                 if vi is not None else None)
+            return a, v
+
+        new_cols = []
+        for c, rec in zip(t.cols, col_rec):
+            a, v = take(rec)
+            new_cols.append(SCol(a, v, c.dtype, c.dictionary, c.stats))
+        new_specs = []
+        for (a0, v0, asc, nf), rec in zip(key_specs, key_rec):
+            a, v = take(rec)
+            new_specs.append((a, v, asc, nf))
+        alive = jnp.arange(cap) < jnp.minimum(cnt, cap)
+        return (STable(new_cols, t.names, alive, cap, prefix=True),
+                new_specs)
+
+    def _topk_prune_general(self, t: STable, key_specs, m: int):
         import math
 
         n = t.cap

@@ -69,3 +69,18 @@ def test_topk_nulls_first(eng):
     got = eng.execute(
         "SELECT k FROM t4 ORDER BY k NULLS FIRST LIMIT 10").column(0).to_pylist()
     assert all(x is None for x in got)
+
+
+def test_fused_matches_general_path(eng, monkeypatch):
+    """The fused Pallas extraction and the general XLA path must emit
+    identical rows (both are exercised against the same engine state)."""
+    import igloo_tpu
+
+    q = "SELECT k FROM t ORDER BY k DESC LIMIT 37"
+    fused = eng.execute(q).to_pydict()
+    e2 = igloo_tpu.QueryEngine(result_cache=False)
+    e2.register_table("t", pa.table({"k": pa.array(eng._np["k"],
+                                                   type=pa.int64())}))
+    monkeypatch.setenv("IGLOO_DISABLE_FUSED_TOPK", "1")
+    general = e2.execute(q).to_pydict()
+    assert fused == general
