@@ -54,26 +54,40 @@ def _u(x):
     return jax.lax.bitcast_convert_type(x, jnp.uint32)
 
 
-def _rank_pair(planes, valid01, klass: str, ascending: bool,
+def _rank_pair(planes, valid_i32, klass: str, ascending: bool,
                nulls_first: bool):
     """(hi, lo) uint32 pair equal to dist_exec._orderable_rank's u64.
 
-    planes: list of (BR, 128) int32 blocks; valid01: (BR, 128) bool or
-    None. Parity with _orderable_rank is asserted by
+    planes: list of (BR, 128) int32 blocks; valid_i32: (BR, 128) int32
+    0/1 vector or None (int32, NOT bool: `jnp.where(i8_derived_i1,
+    scalar, scalar)` feeding bit ops crashes the TPU compiler — the
+    valid plane is loaded as int8 and astype'd, never compared).
+    Parity with _orderable_rank is asserted by
     tests/test_extract_kernel.py.
     """
+    # Mosaic layout note: scalar-splat selects (`jnp.where(vec_i1,
+    # scalar, scalar)`) combined with `~`/valid masking made the TPU
+    # layout pass demand a replicated layout for the materialized i1
+    # condition ("Invalid relayout ... vector<...xi1>"), so every
+    # valid/sign select below is arithmetic on int32 0/1 vectors
+    # (bit-identical results; see scripts/smoke_tpu.py).
     if klass == "i64":
         uhi = _u(planes[0]) ^ jnp.uint32(0x80000000)
         ulo = _u(planes[1])
     elif klass == "i32":
         v = planes[0]
-        neg = v < 0
-        uhi = jnp.where(neg, jnp.uint32(0x7FFFFFFF), jnp.uint32(0x80000000))
+        # sign -> {neg: 0x7FFFFFFF, pos: 0x80000000} == 0x80000000 - neg
+        ni = jnp.where(v < 0, jnp.int32(1), jnp.int32(0))
+        uhi = jnp.uint32(0x80000000) - ni.astype(jnp.uint32)
         ulo = _u(v)
     elif klass == "fbits":
         bits = _u(planes[0])
-        neg = (bits >> jnp.uint32(31)) > 0
-        uhi = jnp.where(neg, ~bits, bits | (jnp.uint32(1) << jnp.uint32(31)))
+        # neg: ~bits; pos: bits | top == bits ^ (neg ? ~0 : top)
+        ni = jnp.where((bits >> jnp.uint32(31)) > 0,
+                       jnp.int32(1), jnp.int32(0))
+        flip = (_u(-ni)                                   # ~0 where neg
+                | jnp.uint32(0x80000000))                 # top elsewhere
+        uhi = bits ^ flip
         ulo = jnp.zeros_like(uhi)
     else:  # "rank": already direction/null-packed — return as-is
         return _u(planes[0]), _u(planes[1])
@@ -83,21 +97,20 @@ def _rank_pair(planes, valid01, klass: str, ascending: bool,
     # u64 >> 1 across the pair
     ulo = (ulo >> jnp.uint32(1)) | (uhi << jnp.uint32(31))
     uhi = uhi >> jnp.uint32(1)
-    if valid01 is not None:
-        top = jnp.uint32(0x80000000)
-        zero = jnp.uint32(0)
-        nr = (jnp.where(valid01, top, zero) if nulls_first
-              else jnp.where(valid01, zero, top))
-        uhi = jnp.where(valid01, uhi, zero) | nr
-        ulo = jnp.where(valid01, ulo, zero)
+    if valid_i32 is not None:
+        vi = valid_i32
+        keep = _u(-vi)                                    # ~0 where valid
+        nulls_bit = (vi if nulls_first else (1 - vi)) << 31
+        uhi = (uhi & keep) | _u(nulls_bit)
+        ulo = ulo & keep
     return uhi, ulo
 
 
-def _predicate(thr_ref, planes, valids01, key_specs, br, i):
+def _predicate(thr_ref, planes, valids_i32, key_specs, br, i):
     """cand = (rank_1..rank_K, row_idx) <=_lex threshold (from SMEM).
 
     thr layout: [t_i, k0_hi, k0_lo, k1_hi, k1_lo, ...] as int32 words.
-    planes/valids01: lists of (BR, 128) blocks (valids as bool).
+    planes/valids_i32: lists of (BR, 128) int32 blocks (valids 0/1).
     """
     shape = (br, _LANE)
     sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -107,10 +120,13 @@ def _predicate(thr_ref, planes, valids01, key_specs, br, i):
     for ki in reversed(range(len(key_specs))):
         klass, has_valid, asc, nf, pidx, vi = key_specs[ki]
         kplanes = [planes[j] for j in pidx]
-        v01 = valids01[vi] if has_valid else None
-        uhi, ulo = _rank_pair(kplanes, v01, klass, asc, nf)
-        thi = _u(jnp.full((), thr_ref[1 + 2 * ki], jnp.int32))
-        tlo = _u(jnp.full((), thr_ref[2 + 2 * ki], jnp.int32))
+        vv = valids_i32[vi] if has_valid else None
+        uhi, ulo = _rank_pair(kplanes, vv, klass, asc, nf)
+        # astype, not bitcast: int32->uint32 astype is bit-preserving
+        # (two's complement wrap) and Mosaic's tpu.bitcast rejects
+        # scalar (0-d) operands
+        thi = jnp.full((), thr_ref[1 + 2 * ki], jnp.int32).astype(jnp.uint32)
+        tlo = jnp.full((), thr_ref[2 + 2 * ki], jnp.int32).astype(jnp.uint32)
         lt = (uhi < thi) | ((uhi == thi) & (ulo < tlo))
         eq = (uhi == thi) & (ulo == tlo)
         cond = lt | (eq & cond)
@@ -140,33 +156,62 @@ def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
         carry_ref[3] = 0          # overflow flag
 
     shape = (br, _LANE)
-    alive01 = alive_ref[...] != 0
+    # alive/valid planes arrive as int8 and are astype'd, never compared:
+    # an i1 derived from an int8 compare that feeds bit ops triggers the
+    # Mosaic "Invalid relayout ... xi1" compiler crash; i1 from int32
+    # compares (the predicate) is fine
+    ai = alive_ref[...].astype(jnp.int32)
     planes = [r[...] for r in plane_refs]
-    valids01 = [r[...] != 0 for r in valid_refs]
+    valids_i32 = [r[...].astype(jnp.int32) for r in valid_refs]
 
-    cond = _predicate(thr_ref, planes, valids01, key_specs, br, i)
-    cand = cond & alive01
+    cond = _predicate(thr_ref, planes, valids_i32, key_specs, br, i)
+
+    # Mosaic notes (learned the hard way; see scripts/smoke_tpu.py):
+    # - jnp.sum/any to a SCALAR routes through a jnp proxy re-traced
+    #   under the process-global x64 setting -> int64 convert ->
+    #   "64-bit types are not supported" (the round-2 bench crash);
+    # - jnp.sum producing (R,1)/(1,L) lowers, but rolling or carrying
+    #   its output crashes the remote TPU compiler (layout bug);
+    # - the PROVEN idiom (ops/pallas/compact.py runs in production) is:
+    #   roll-based prefix sums, (R,1) columns sliced from full-width
+    #   vectors, [r,0] element extraction, SMEM carries from those.
+    # Everything below sticks to that idiom — no reduce primitives.
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    sub1 = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
+    ci = jnp.where(cond, jnp.int32(1), jnp.int32(0)) * ai  # cand as 0/1
+
+    def lane_prefix(x):
+        s = 1
+        while s < _LANE:
+            x = x + jnp.where(lane >= s, pltpu.roll(x, s, axis=1), 0)
+            s *= 2
+        return x
+
+    def row_cumsum(col):                       # (BR,1) inclusive
+        s = 1
+        while s < br:
+            col = col + jnp.where(sub1 >= s,
+                                  pltpu.roll(col, s, axis=0), 0)
+            s *= 2
+        return col
+
+    row_el = lane_prefix(ci)[:, _LANE - 1:_LANE]       # (BR,1) cand/row
+    row_al = lane_prefix(ai)[:, _LANE - 1:_LANE]       # (BR,1) alive/row
 
     # ---- stats ----
-    carry_ref[1] = carry_ref[1] + jnp.sum(
-        cand.astype(jnp.int32), dtype=jnp.int32)
-    carry_ref[2] = carry_ref[2] + jnp.sum(
-        alive01.astype(jnp.int32), dtype=jnp.int32)
+    carry_ref[1] = carry_ref[1] + row_cumsum(row_el)[br - 1, 0]
+    carry_ref[2] = carry_ref[2] + row_cumsum(row_al)[br - 1, 0]
 
     # ---- row-sparse compaction (sublane shifts only) ----
-    row_any = jnp.any(cand, axis=1, keepdims=True)          # (BR, 1)
-    sub1 = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
-    ra = row_any.astype(jnp.int32)
-    incl = ra
-    s = 1
-    while s < br:
-        incl = incl + jnp.where(sub1 >= s, pltpu.roll(incl, s, axis=0), 0)
-        s *= 2
+    ra = jnp.where(row_el > 0, jnp.int32(1), jnp.int32(0))  # (BR,1)
+    incl = row_cumsum(ra)
     k_rows = incl[br - 1, 0]
-    d = jnp.where(row_any, sub1 - (incl - ra), -1)          # displacement
+    # displacement, row-replicated to full width so every roll/select
+    # below runs on (BR,128) int32 vectors (compact.py's proven layout)
+    d1 = jnp.where(row_el > 0, sub1 - (incl - ra), -1)
+    d = jnp.broadcast_to(d1, shape)
 
-    movers = (planes + [v.astype(jnp.int32) for v in valids01]
-              + [cand.astype(jnp.int32)])
+    movers = (planes + valids_i32 + [ci])
 
     nbits = (br - 1).bit_length()
     for b in range(nbits):
@@ -174,8 +219,7 @@ def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
         d_up = pltpu.roll(d, (-sh) % br, axis=0)
         pull = (d_up >= 0) & (((d_up >> b) & 1) == 1)
         moved = ((d >> b) & 1) == 1
-        pull_b = jnp.broadcast_to(pull, shape)
-        movers = [jnp.where(pull_b, pltpu.roll(p, (-sh) % br, axis=0), p)
+        movers = [jnp.where(pull, pltpu.roll(p, (-sh) % br, axis=0), p)
                   for p in movers]
         d = jnp.where(pull, d_up, jnp.where(moved, -1, d))
 
@@ -210,8 +254,6 @@ def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
         stats_ref[3] = carry_ref[3]
 
 
-@functools.partial(jax.jit, static_argnames=("key_specs", "cap_rows",
-                                             "interpret"))
 def extract_candidate_rows(thr: jax.Array, alive: jax.Array, planes,
                            valids, *, key_specs: tuple, cap_rows: int,
                            interpret: bool = False):
@@ -231,7 +273,28 @@ def extract_candidate_rows(thr: jax.Array, alive: jax.Array, planes,
     0/1, and stats = [rows_used, cand_count, alive_count, overflow]
     int32. Rows at indices >= rows_used are garbage — the caller must
     AND the mask with (row < rows_used) before the dense compact.
+
+    The jit call runs under `jax.enable_x64(False)`: Mosaic re-traces
+    reduction proxies at LOWERING time with the process-global x64
+    setting, so an engine running in x64 mode would otherwise emit an
+    int64 convert inside the kernel and fail TPU lowering ("64-bit
+    types are not supported") — a context manager around pallas_call
+    inside the jit does NOT help because pallas kernels are traced
+    lazily at jit-lowering time. All inputs/outputs are 32-bit, so the
+    x32 compile is semantics-preserving. Regression guard:
+    scripts/smoke_tpu.py (lowers every kernel on TPU with x64 on).
     """
+    with jax.enable_x64(False):
+        return _extract_jit(thr, alive, planes, valids,
+                            key_specs=key_specs, cap_rows=cap_rows,
+                            interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("key_specs", "cap_rows",
+                                             "interpret"))
+def _extract_jit(thr: jax.Array, alive: jax.Array, planes,
+                 valids, *, key_specs: tuple, cap_rows: int,
+                 interpret: bool = False):
     n = alive.shape[0]
     assert n % 8192 == 0, "capacity must be 8192-aligned (table.PAD)"
     r = n // _LANE
@@ -253,27 +316,26 @@ def extract_candidate_rows(thr: jax.Array, alive: jax.Array, planes,
                              cap_rows=cap_rows, br=br)
     blk = pl.BlockSpec((br, _LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    with jax.enable_x64(False):
-        out = pl.pallas_call(
-            kern,
-            grid=(nb,),
-            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                      + [blk] * (1 + n_planes + n_valids)),
-            out_shape=(tuple(jax.ShapeDtypeStruct((cap_rows + br, _LANE),
-                                                  jnp.int32)
-                             for _ in range(nm))
-                       + (jax.ShapeDtypeStruct((4,), jnp.int32),)),
-            out_specs=(tuple(pl.BlockSpec(memory_space=pl.ANY)
-                             for _ in range(nm))
-                       + (pl.BlockSpec(memory_space=pltpu.SMEM),)),
-            scratch_shapes=[
-                pltpu.VMEM((nm, br, _LANE), jnp.int32),
-                pltpu.SMEM((4,), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(*ins)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [blk] * (1 + n_planes + n_valids)),
+        out_shape=(tuple(jax.ShapeDtypeStruct((cap_rows + br, _LANE),
+                                              jnp.int32)
+                         for _ in range(nm))
+                   + (jax.ShapeDtypeStruct((4,), jnp.int32),)),
+        out_specs=(tuple(pl.BlockSpec(memory_space=pl.ANY)
+                         for _ in range(nm))
+                   + (pl.BlockSpec(memory_space=pltpu.SMEM),)),
+        scratch_shapes=[
+            pltpu.VMEM((nm, br, _LANE), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(*ins)
     out_planes = [o[:cap_rows] for o in out[:n_planes]]
     out_valids = [o[:cap_rows] for o in out[n_planes:n_planes + n_valids]]
     out_mask = out[nm - 1][:cap_rows]

@@ -653,12 +653,6 @@ class DistFragment:
         if base_cap >= min(n, 1 << 20):
             return None                 # degenerate — full sort instead
         cap = pad_count(min(n, base_cap))
-        # candidate ROWS: worst case one candidate per 128-lane row
-        cap_rows = min(-(-cap // 64) * 64,
-                       -(-r // 64) * 64,
-                       (256 << 20) // ((len(t.cols) + 3) * 512))
-        if cap_rows < 256:
-            return NotImplemented
 
         # ---- build deduped planes + key specs for the kernel ----
         plane_slot: dict[int, tuple] = {}
@@ -708,6 +702,20 @@ class DistFragment:
             kspecs.append((klass, vi is not None, asc, nf, pidx,
                            vi if vi is not None else 0))
         key_rec = [(add_arr(a), add_valid(v)) for a, v, _, _ in key_specs]
+
+        # candidate ROWS: worst case one candidate per 128-lane row.
+        # The output-buffer budget (256 MB) is sized from the ACTUAL
+        # kernel plane count nm (data planes + valid planes + mask —
+        # int64/f64 columns contribute 2 planes each), and every term is
+        # a multiple of 64 so extract's `cap_rows % 64 == 0` invariant
+        # holds whichever term wins the min.
+        nm = len(planes) + len(valids) + 1
+        budget_rows = max((256 << 20) // (nm * 512) // 64 * 64, 0)
+        cap_rows = min(-(-cap // 64) * 64,
+                       -(-r // 64) * 64,
+                       budget_rows)
+        if cap_rows < 256:
+            return NotImplemented
 
         # ---- row-strided sample -> threshold tuple ----
         off0 = (7919 * factor) % rstride

@@ -1,9 +1,17 @@
 """Rule-based logical optimizer.
 
 The reference relies on DataFusion's optimizer for its working path
-(SURVEY §1). Round-1 native rules: limit-into-sort fusion (top-k),
-adjacent-filter merging, and projection pruning under scans. Join
-reordering and general filter pushdown are staged for later rounds.
+(SURVEY §1). Native rules:
+- limit-into-sort fusion (top-k),
+- adjacent-filter merging,
+- general predicate pushdown: filters move through projections
+  (pass-through column substitution), below aggregates (group-key
+  conjuncts — HAVING pushdown), and into join inputs,
+- greedy left-deep join reordering over INNER equi-join chains
+  (largest relation stays the probe side, connected relations join
+  smallest-first — the dim-first order a Q5-style star query wants),
+- build-side swap on estimated sizes,
+- string-render hoisting and column pruning.
 """
 
 from __future__ import annotations
@@ -21,10 +29,14 @@ def optimize(plan: L.LogicalPlan,
     rewrites (join build-side selection)."""
     plan = _rewrite(plan, _fuse_limit_sort)
     plan = _rewrite(plan, _merge_filters)
+    plan = _rewrite(plan, _push_filter_through_projection)
+    plan = _rewrite(plan, _push_filter_below_aggregate)
     plan = _rewrite(plan, _push_filter_into_join)
     plan = _rewrite(plan, _push_filter_into_join)  # reach newly-created sites
     plan = _rewrite(plan, _merge_filters)
     if table_rows:
+        plan = _reorder_joins_tree(plan, table_rows)
+        plan = _rewrite(plan, _push_filter_into_join)
         plan = _rewrite(plan, lambda n: _swap_join_sides(n, table_rows))
     plan = _rewrite(plan, _hoist_string_renders)
     plan, _ = _prune_columns(plan, set(range(len(plan.schema))))
@@ -43,6 +55,10 @@ def _estimate_rows(node: L.LogicalPlan, table_rows: dict,
         est = len(node.rows)
     elif isinstance(node, L.Aggregate):
         est = max(_estimate_rows(node.input, table_rows, memo) // 2, 1)
+    elif isinstance(node, L.Filter):
+        # crude 1/3 selectivity: enough to rank filtered dims ahead of
+        # unfiltered ones in the greedy join order
+        est = max(_estimate_rows(node.input, table_rows, memo) // 3, 1)
     elif isinstance(node, L.Join):
         l = _estimate_rows(node.left, table_rows, memo)
         r = _estimate_rows(node.right, table_rows, memo)
@@ -236,6 +252,241 @@ def _split_bool_and(e: L.BExpr) -> list:
     if isinstance(e, L.BBinary) and e.op is BinOp.AND:
         return _split_bool_and(e.left) + _split_bool_and(e.right)
     return [e]
+
+
+def _and_all(conjs: list) -> L.BExpr:
+    pred = conjs[0]
+    for c in conjs[1:]:
+        pred = L.BBinary(SqlType.BOOL, pred.nullable or c.nullable,
+                         BinOp.AND, pred, c)
+    return pred
+
+
+def _push_filter_through_projection(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Filter(Projection) → Projection(Filter) when every projection
+    output the predicate references is a plain column or literal (no
+    re-evaluation cost). Unblocks _push_filter_into_join across
+    SELECT-list projections — the reference gets this whole family from
+    DataFusion's PushDownFilter."""
+    if not (isinstance(plan, L.Filter)
+            and isinstance(plan.input, L.Projection)):
+        return plan
+    proj = plan.input
+    push, keep = [], []
+    for conj in _split_bool_and(plan.predicate):
+        refs = L.referenced_columns(conj)
+        if all(isinstance(proj.exprs[i], (L.BColumn, L.BLiteral))
+               for i in refs):
+            push.append(L.rewrite_expr(
+                conj,
+                lambda n: (proj.exprs[n.index]
+                           if isinstance(n, L.BColumn) else n)))
+        else:
+            keep.append(conj)
+    if not push:
+        return plan
+    proj.input = L.Filter(proj.input, _and_all(push))
+    if not keep:
+        return proj
+    plan.predicate = _and_all(keep)
+    return plan
+
+
+def _push_filter_below_aggregate(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """HAVING-style conjuncts that reference only GROUP BY output
+    columns filter the input rows instead of the groups (substituting
+    the group expressions). Aggregate schema = group fields ++ agg
+    fields, so a conjunct qualifies iff max(refs) < len(group_exprs)."""
+    if not (isinstance(plan, L.Filter)
+            and isinstance(plan.input, L.Aggregate)):
+        return plan
+    agg = plan.input
+    ng = len(agg.group_exprs)
+    if ng == 0:
+        return plan
+    push, keep = [], []
+    for conj in _split_bool_and(plan.predicate):
+        refs = L.referenced_columns(conj)
+        if refs and max(refs) < ng:
+            push.append(L.rewrite_expr(
+                conj,
+                lambda n: (agg.group_exprs[n.index]
+                           if isinstance(n, L.BColumn) else n)))
+        else:
+            keep.append(conj)
+    if not push:
+        return plan
+    agg.input = L.Filter(agg.input, _and_all(push))
+    if not keep:
+        return agg
+    plan.predicate = _and_all(keep)
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# join reordering: greedy left-deep order over INNER equi-join chains
+# ---------------------------------------------------------------------------
+
+def _localize_key(expr, offsets: list):
+    """Map a key expression over a concatenated schema to
+    (relation_idx, relation-local expr); None when it spans relations."""
+    refs = L.referenced_columns(expr)
+    if not refs:
+        return None
+    for ri in range(len(offsets) - 1):
+        lo, hi = offsets[ri], offsets[ri + 1]
+        if all(lo <= c < hi for c in refs):
+            return ri, L.shift_columns(expr, -lo)
+    return None
+
+
+def _flatten_inner_chain(node):
+    """Flatten a tree of residual-free INNER equi-joins into
+    (relations, edges); edges are (rel_a, expr_a_local, rel_b,
+    expr_b_local) equi pairs. Non-qualifying subtrees become leaf
+    relations. Returns None when any key spans multiple relations."""
+    if not (isinstance(node, L.Join) and node.kind is JoinKind.INNER
+            and node.residual is None and node.left_keys):
+        return [node], []
+    lf = _flatten_inner_chain(node.left)
+    rf = _flatten_inner_chain(node.right)
+    if lf is None or rf is None:
+        return None
+    lrels, ledges = lf
+    rrels, redges = rf
+    rels = lrels + rrels
+    edges = list(ledges) + [(a + len(lrels), ea, b + len(lrels), eb)
+                            for a, ea, b, eb in redges]
+    loffs = [0]
+    for r in lrels:
+        loffs.append(loffs[-1] + len(r.schema))
+    roffs = [0]
+    for r in rrels:
+        roffs.append(roffs[-1] + len(r.schema))
+    for le, re_ in zip(node.left_keys, node.right_keys):
+        ll = _localize_key(le, loffs)
+        rl = _localize_key(re_, roffs)
+        if ll is None or rl is None:
+            return None
+        edges.append((ll[0], ll[1], len(lrels) + rl[0], rl[1]))
+    return rels, edges
+
+
+def _reorder_joins_tree(node, table_rows):
+    """Top-down driver: reorder each maximal INNER equi-join chain of
+    ≥3 relations, recursing into the chain's leaf relations (a rewritten
+    chain's new Projection must not be re-flattened by a second pass)."""
+    flat = None
+    if (isinstance(node, L.Join) and node.kind is JoinKind.INNER
+            and node.residual is None and node.left_keys):
+        flat = _flatten_inner_chain(node)
+    if flat is not None and len(flat[0]) >= 3:
+        rels = [_reorder_joins_tree(r, table_rows) for r in flat[0]]
+        out = _rebuild_chain(node, rels, flat[1], table_rows)
+        if out is not None:
+            return out
+    for attr in ("input", "left", "right"):
+        child = getattr(node, attr, None)
+        if isinstance(child, L.LogicalPlan):
+            setattr(node, attr, _reorder_joins_tree(child, table_rows))
+    if isinstance(node, L.Union):
+        node.inputs = tuple(_reorder_joins_tree(c, table_rows)
+                            for c in node.inputs)
+    return node
+
+
+def _raw_base(node: L.LogicalPlan, table_rows: dict) -> int:
+    """Unfiltered size proxy of a relation subtree (its scan size,
+    ignoring filter discounts) — the join-size denominator."""
+    if isinstance(node, L.Scan):
+        return table_rows.get(node.table.lower(), 1 << 20)
+    kids = node.children()
+    return max((_raw_base(k, table_rows) for k in kids), default=1)
+
+
+def _rebuild_chain(root, rels, edges, table_rows):
+    """Greedy operator ordering (GOO) over the join graph: repeatedly
+    merge the connected pair with the smallest estimated join size,
+    producing a bushy tree — for a star/snowflake this builds
+    (dim ⋈ filtered_subdim) composites first so the big fact probe sees
+    pre-reduced build sides. Size model: joining A (bigger est) with B
+    scales A by B's filtered fraction:
+        est(A ⋈ B) = est_A · est_B / raw_base(min side).
+    The probe (bigger) side becomes the LEFT input. Output column order
+    is restored with a projection. Returns None to keep the original
+    plan (disconnected graph, or order already optimal)."""
+    memo: dict = {}
+    n = len(rels)
+    nodes = []                      # forest of merged subtrees
+    for ri, r in enumerate(rels):
+        nodes.append({
+            "plan": r, "offs": {ri: 0},
+            "est": max(_estimate_rows(r, table_rows, memo), 1),
+            "base": max(_raw_base(r, table_rows), 1),
+        })
+
+    merge_seq = []
+    alive = list(range(n))          # indices into `nodes`
+    owner = list(range(n))          # rel idx -> node idx
+
+    def join_est(i, j):
+        a, b = nodes[i], nodes[j]
+        big, small = (a, b) if a["est"] >= b["est"] else (b, a)
+        return max(big["est"] * small["est"] // small["base"], 1)
+
+    while len(alive) > 1:
+        pairs = set()
+        for a, _, b, _ in edges:
+            ia, ib = owner[a], owner[b]
+            if ia != ib:
+                pairs.add((min(ia, ib), max(ia, ib)))
+        if not pairs:
+            return None             # disconnected: cross-join-ish
+        i, j = min(pairs, key=lambda p: join_est(*p))
+        # probe (bigger est) side left, build side right
+        if nodes[i]["est"] < nodes[j]["est"]:
+            i, j = j, i
+        li, rj = nodes[i], nodes[j]
+        lkeys, rkeys = [], []
+        for a, ea, b, eb in edges:
+            if owner[a] == i and owner[b] == j:
+                lkeys.append(L.shift_columns(ea, li["offs"][a]))
+                rkeys.append(L.shift_columns(eb, rj["offs"][b]))
+            elif owner[b] == i and owner[a] == j:
+                lkeys.append(L.shift_columns(eb, li["offs"][b]))
+                rkeys.append(L.shift_columns(ea, rj["offs"][a]))
+        nl = len(li["plan"].schema)
+        schema = tuple(li["plan"].schema) + tuple(rj["plan"].schema)
+        nodes[i] = {
+            "plan": L.Join(li["plan"], rj["plan"], JoinKind.INNER,
+                           tuple(lkeys), tuple(rkeys), None, schema),
+            "offs": {**li["offs"],
+                     **{rid: off + nl for rid, off in rj["offs"].items()}},
+            "est": join_est(i, j),
+            "base": max(li["base"], rj["base"]),
+        }
+        for rid in rj["offs"]:
+            owner[rid] = i
+        alive.remove(j)
+        merge_seq.append(sorted(nodes[i]["offs"]))
+
+    # original left-deep order merges {0,1}, {0,1,2}, ... — skip rebuild
+    if merge_seq == [list(range(k)) for k in range(2, n + 1)]:
+        return None
+
+    final = nodes[alive[0]]
+    # original concatenated offsets (relation index order)
+    ooffs = [0]
+    for r in rels:
+        ooffs.append(ooffs[-1] + len(r.schema))
+    out_exprs = []
+    for i, f in enumerate(root.schema):
+        k = next(ri for ri in range(n) if ooffs[ri] <= i < ooffs[ri + 1])
+        out_exprs.append(L.BColumn(f.dtype, f.nullable,
+                                   final["offs"][k] + (i - ooffs[k]),
+                                   f.name))
+    return L.Projection(final["plan"], tuple(out_exprs),
+                        tuple(root.schema))
 
 
 # ---------------------------------------------------------------------------
