@@ -1,4 +1,4 @@
-"""Benchmark harness — BASELINE.json configs on one chip.
+"""Benchmark harness — BASELINE.json configs on one chip, honest shapes.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
@@ -15,19 +15,33 @@ Two timings are reported per config:
             tunnel). vs_baseline and the headline geomean use DEVICE
             time: it is what production (no tunnel) pays.
 
+All benchmark tables are generated ON DEVICE (splitmix64 over iota) and
+registered as DeviceTables: the axon tunnel's host->device bandwidth is
+erratic (minutes for 100M-row transfers on bad days) and none of it is
+part of what is being measured. Each config's tables are DROPped before
+the next so peak HBM = one config's working set (the 1B-row sort alone
+needs ~13 GB of the 16 GB chip).
+
 Sub-benchmarks (BASELINE.json configs) and their traffic models (the
 roofline denominator, bytes per input row; "+w" = write traffic):
   #1 filter+projection   read age(4)+name(4), +w compacted name(4)
                          and the i8 mask plane(1)          = 13 B/row
-  #2 hash aggregate      read k(4)+v(4); group-count output
-                         is negligible                     = 8 B/row
-  #3 hash join           read okey(4)+qty(4), probe lookups
-                         hit VMEM, +w matched-sum partials
-                         (negligible); mask plane(4)       = 12 B/row
-  #4 sort / top-k        read k(8), threshold scan +w u64
-                         candidates (negligible at 0.2%
-                         selectivity) — one more full read
-                         for the candidate extraction      = 16 B/row
+  #2 hash aggregate      read k(4)+v(4)+alive i8(1); group
+                         output negligible                 = 9 B/row
+  #3 hash join           SF10 shape: 60M fact x 15M dim, SPARSE int64
+                         keys, post-join filter on a dim STRING column.
+                         Fact read l_okey(8)+l_qty(4); dim side
+                         (8+4+4str)x15M amortized over 60M = +4; probe
+                         tables in HBM                     = 16 B/row
+  #4 sort / top-k        1B int64 keys (BASELINE's stated scale). The
+                         index-emit prune reads the key once for the
+                         hi plane + the plane itself + alive
+                         (8+4+1), candidate gather negligible
+                                                           = 13 B/row
+  #5 zipf skew proxy     zipf(1.2)-keyed GROUP BY + dim join on one
+                         chip (the single-chip proxy of the N-host
+                         skewed-shuffle config): read k(4)+v(4)+dim
+                         probe(4)+masks(1)                 = 13 B/row
 
 The headline metric is the geometric mean of per-config rows/s (device).
 """
@@ -91,23 +105,89 @@ def _time_query(eng, sql: str, iters: int = 5) -> float:
     return float(np.median(times))
 
 
+# ---------------------------------------------------------------------------
+# device-side data generation
+# ---------------------------------------------------------------------------
+
+def _mix64(x):
+    """splitmix64 finalizer on uint64 device vectors."""
+    import jax.numpy as jnp
+    x = (x ^ (x >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return x ^ (x >> jnp.uint64(31))
+
+
+def _dev_table(eng, name: str, nrows: int, build_fn, schema):
+    """Register a device-generated table.
+
+    build_fn(base, cnt) -> dict col -> jnp array of rows
+    [base, base+cnt). schema: dict col -> (SqlType, dictionary|None,
+    stats|None) — stats mirror what parquet/arrow ingest computes (the
+    span gates for the MXU group-by and direct-address joins read
+    them). Generation is CHUNKED with buffer donation so an 8 GB column
+    never needs 2x its size in HBM (iota+mix fusion peaks at buffer +
+    one chunk).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from igloo_tpu.table import Column, DeviceTable, pad_count
+
+    cap = pad_count(nrows)
+    chunk = min(cap, 1 << 27)
+    shapes = jax.eval_shape(functools.partial(build_fn, 0, 8192))
+
+    @functools.partial(jax.jit, donate_argnums=0, static_argnums=(2,))
+    def fill(bufs, base, cnt):
+        vals = build_fn(base, cnt)
+        return {k: jax.lax.dynamic_update_slice(bufs[k], vals[k], (base,))
+                for k in bufs}
+
+    bufs = {k: jnp.zeros((cap,), dtype=s.dtype) for k, s in shapes.items()}
+    base = 0
+    while base < cap:
+        cnt = min(chunk, cap - base)
+        bufs = fill(bufs, jnp.int32(base), cnt)
+        base += cnt
+    cols = {}
+    for cname, arr in bufs.items():
+        st, dct, stats = schema[cname]
+        cols[cname] = Column(data=arr, dtype=st, validity=None,
+                             dictionary=dct, stats=stats)
+    eng.register_table(name, DeviceTable(cols, nrows))
+
+
 def main() -> None:
+    import os
+
     import jax
 
+    # IGLOO_BENCH_SCALE=K divides every row count by K (flow smoke);
+    # IGLOO_BENCH_CPU=1 runs on the host CPU backend (no TPU needed)
+    scale = int(os.environ.get("IGLOO_BENCH_SCALE", "1"))
+    if os.environ.get("IGLOO_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    import pyarrow as pa
+    import jax.numpy as jnp
 
     from igloo_tpu import QueryEngine
+    from igloo_tpu.dtypes import SqlType
 
     eng = QueryEngine(result_cache=False)
-    rng = np.random.default_rng(0)
     bw = _hbm_bandwidth_gbps() * 1e9
+
+    # one d2h up front: flip the tunnel to synchronous dispatch so wall
+    # timings are honest (CLAUDE.md TIMING TRAP)
+    jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
 
     results = {}
 
     def run(name: str, sql: str, n_rows: int, bytes_per_row: float) -> None:
         wall = _time_query(eng, sql)
         dev = _time_device(eng, sql)
+        if dev <= 0:
+            dev = wall       # CPU smoke runs have no device trace
         roofline = bw / bytes_per_row
         rows_s = n_rows / dev
         results[name] = {
@@ -116,51 +196,125 @@ def main() -> None:
         _log(f"{name}: device {dev*1e3:.1f}ms wall {wall*1e3:.1f}ms "
              f"sol {rows_s / roofline:.4f}")
 
+    def iota64(base, cnt):
+        return (jax.lax.iota(jnp.uint64, cnt)
+                + jnp.asarray(base).astype(jnp.uint64))
+
     # ---- config #1: filter + projection ----
-    n1 = 1 << 26
-    _log("generating filter table")
-    eng.register_table("people", pa.table({
-        "age": pa.array(rng.integers(0, 100, n1), type=pa.int32()),
-        "name": pa.array(rng.integers(0, 100_000, n1), type=pa.int32()),
-    }))
+    n1 = (1 << 26) // scale
+    _log("generating filter table (device)")
+
+    def gen_people(base, cnt):
+        h = _mix64(iota64(base, cnt))
+        return {"age": (h % jnp.uint64(100)).astype(jnp.int32),
+                "name": ((h >> jnp.uint64(8)) % jnp.uint64(100_000))
+                .astype(jnp.int32)}
+
+    _dev_table(eng, "people", n1, gen_people,
+               {"age": (SqlType.INT32, None, (0, 99)),
+                "name": (SqlType.INT32, None, (0, 99_999))})
     run("filter_projection", "SELECT name FROM people WHERE age > 25",
         n1, 13)
+    eng.sql("DROP TABLE people")
 
     # ---- config #2: low-cardinality hash aggregate ----
-    n2 = 100_000_000   # BASELINE config #2: 100M rows
-    _log("generating aggregate table")
-    eng.register_table("events", pa.table({
-        "k": pa.array(rng.integers(0, 256, n2), type=pa.int32()),
-        "v": pa.array(rng.integers(0, 1000, n2), type=pa.int32()),
-    }))
+    n2 = 100_000_000 // scale   # BASELINE config #2: 100M rows
+    _log("generating aggregate table (device)")
+
+    def gen_events(base, cnt):
+        h = _mix64(iota64(base, cnt))
+        return {"k": (h % jnp.uint64(256)).astype(jnp.int32),
+                "v": ((h >> jnp.uint64(16)) % jnp.uint64(1000))
+                .astype(jnp.int32)}
+
+    _dev_table(eng, "events", n2, gen_events,
+               {"k": (SqlType.INT32, None, (0, 255)),
+                "v": (SqlType.INT32, None, (0, 999))})
     run("hash_aggregate",
         "SELECT k, sum(v) AS s, count(*) AS c FROM events GROUP BY k",
-        n2, 8)
+        n2, 9)
+    eng.sql("DROP TABLE events")
 
-    # ---- config #3: fact-dim hash join + post-join filter ----
-    n3 = 1 << 24
-    ndim = 1 << 15
-    _log("generating join tables")
-    eng.register_table("lineitem", pa.table({
-        "okey": pa.array(rng.integers(0, ndim, n3), type=pa.int32()),
-        "qty": pa.array(rng.integers(1, 50, n3), type=pa.int32()),
-    }))
-    eng.register_table("orders", pa.table({
-        "okey": pa.array(np.arange(ndim), type=pa.int32()),
-        "prio": pa.array(rng.integers(0, 5, ndim), type=pa.int32()),
-    }))
+    # ---- config #3: SF10-shaped fact-dim join, sparse int64 keys,
+    # post-join filter on a dim STRING column ----
+    n3 = 60_000_000 // scale
+    ndim = 15_000_000 // scale
+    _log("generating join tables (device)")
+    prio_dict = np.asarray(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                            "4-NOT SPECIFIED", "5-LOW"], dtype=object)
+
+    def gen_orders(base, cnt):
+        i = iota64(base, cnt)
+        h = _mix64(i)
+        return {"o_okey": (i * jnp.uint64(4)).astype(jnp.int64),
+                "o_prio": (h % jnp.uint64(5)).astype(jnp.int32)}
+
+    def gen_lineitem(base, cnt):
+        h = _mix64(iota64(base, cnt))
+        return {"l_okey": ((h % jnp.uint64(ndim)) * jnp.uint64(4))
+                .astype(jnp.int64),
+                "l_qty": (jnp.uint64(1) + (h >> jnp.uint64(32))
+                          % jnp.uint64(50)).astype(jnp.int32)}
+
+    _dev_table(eng, "orders", ndim, gen_orders,
+               {"o_okey": (SqlType.INT64, None, (0, (ndim - 1) * 4)),
+                "o_prio": (SqlType.STRING, prio_dict, None)})
+    _dev_table(eng, "lineitem", n3, gen_lineitem,
+               {"l_okey": (SqlType.INT64, None, (0, (ndim - 1) * 4)),
+                "l_qty": (SqlType.INT32, None, (1, 50))})
     run("hash_join",
-        "SELECT sum(qty) AS s FROM lineitem JOIN orders "
-        "ON lineitem.okey = orders.okey WHERE prio < 3",
-        n3, 12)
+        "SELECT sum(l_qty) AS s FROM lineitem JOIN orders "
+        "ON l_okey = o_okey WHERE o_prio < '3-MEDIUM'",
+        n3, 16)
+    eng.sql("DROP TABLE lineitem")
+    eng.sql("DROP TABLE orders")
 
-    # ---- config #4: sort / top-k ----
-    n4 = 1 << 25
-    _log("generating sort table")
-    eng.register_table("keys64", pa.table({
-        "k": pa.array(rng.integers(0, 1 << 62, n4), type=pa.int64()),
-    }))
-    run("sort_topk", "SELECT k FROM keys64 ORDER BY k LIMIT 1000", n4, 16)
+    # ---- config #5 proxy: zipf-skewed GROUP BY + join, one chip ----
+    n5 = (1 << 24) // scale
+    nzdim = max((1 << 20) // scale, 1 << 10)
+    _log("generating zipf tables (device)")
+
+    def gen_zipf(base, cnt):
+        h = _mix64(iota64(base, cnt))
+        # zipf(1.2)-tailed keys via inverse CDF: P(K >= k) ~ k^-0.2
+        u = (h >> jnp.uint64(40)).astype(jnp.float32) / jnp.float32(1 << 24)
+        u = jnp.maximum(u, jnp.float32(1e-7))
+        k = jnp.minimum(u ** jnp.float32(-5.0), jnp.float32(nzdim))
+        return {"k": k.astype(jnp.int32) - 1,      # [0, nzdim)
+                "v": ((h >> jnp.uint64(16)) % jnp.uint64(1000))
+                .astype(jnp.int32)}
+
+    def gen_zdim(base, cnt):
+        i = iota64(base, cnt)
+        h = _mix64(i)
+        return {"k": i.astype(jnp.int32),
+                "w": (h % jnp.uint64(7)).astype(jnp.int32)}
+
+    _dev_table(eng, "zev", n5, gen_zipf,
+               {"k": (SqlType.INT32, None, (0, nzdim - 1)),
+                "v": (SqlType.INT32, None, (0, 999))})
+    _dev_table(eng, "zdim", nzdim, gen_zdim,
+               {"k": (SqlType.INT32, None, (0, nzdim - 1)),
+                "w": (SqlType.INT32, None, (0, 6))})
+    run("zipf_groupby_join",
+        "SELECT w, count(*) AS c, sum(v) AS s FROM zev JOIN zdim "
+        "ON zev.k = zdim.k GROUP BY w",
+        n5, 13)
+    eng.sql("DROP TABLE zev")
+    eng.sql("DROP TABLE zdim")
+
+    # ---- config #4: top-k over 1B int64 keys (BASELINE scale) ----
+    n4 = (1 << 30) // scale
+    _log("generating 1B-row sort table (device)")
+
+    def gen_keys(base, cnt):
+        return {"k": (_mix64(iota64(base, cnt)) >> jnp.uint64(2))
+                .astype(jnp.int64)}
+
+    _dev_table(eng, "keys64", n4, gen_keys,
+               {"k": (SqlType.INT64, None, None)})
+    run("sort_topk", "SELECT k FROM keys64 ORDER BY k LIMIT 1000", n4, 13)
+    eng.sql("DROP TABLE keys64")
 
     geo = math.exp(sum(math.log(r["rows_per_s"]) for r in results.values())
                    / len(results))

@@ -134,15 +134,14 @@ def _predicate(thr_ref, planes, valids_i32, key_specs, br, i):
 
 
 def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
-            cap_rows: int, br: int):
+            cap_rows: int, br: int, emit_index: bool = False):
+    n_out = 2 if emit_index else (n_planes + n_valids + 1)
     it = iter(refs)
     thr_ref = next(it)
     alive_ref = next(it)
     plane_refs = [next(it) for _ in range(n_planes)]
     valid_refs = [next(it) for _ in range(n_valids)]
-    out_plane_refs = [next(it) for _ in range(n_planes)]
-    out_valid_refs = [next(it) for _ in range(n_valids)]
-    out_mask_ref = next(it)
+    out_refs = [next(it) for _ in range(n_out)]
     stats_ref = next(it)
     stage_ref, carry_ref, sem = next(it), next(it), next(it)
 
@@ -211,7 +210,18 @@ def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
     d1 = jnp.where(row_el > 0, sub1 - (incl - ra), -1)
     d = jnp.broadcast_to(d1, shape)
 
-    movers = (planes + valids_i32 + [ci])
+    if emit_index:
+        # index-emit mode: instead of the (possibly many) data planes,
+        # output each candidate's flat ROW-MAJOR element index — the
+        # caller gathers the real rows afterwards. This keeps the
+        # kernel's input traffic to the key planes only and its output
+        # budget independent of the table's width (the 1B-row top-k
+        # memory enabler; see dist_exec._topk_prune_fused_index).
+        sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        gidx = (i * br + sub) * _LANE + lane
+        movers = [gidx, ci]
+    else:
+        movers = (planes + valids_i32 + [ci])
 
     nbits = (br - 1).bit_length()
     for b in range(nbits):
@@ -234,11 +244,9 @@ def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
 
     @pl.when(k_rows > 0)
     def _emit():
-        nm = n_planes + n_valids + 1
-        for pi in range(nm):
+        for pi in range(n_out):
             stage_ref[pi] = movers[pi]
-        for pi, oref in enumerate(out_plane_refs + out_valid_refs
-                                  + [out_mask_ref]):
+        for pi, oref in enumerate(out_refs):
             dma = pltpu.make_async_copy(
                 stage_ref.at[pi], oref.at[pl.ds(off_c, br)], sem)
             dma.start()
@@ -290,11 +298,57 @@ def extract_candidate_rows(thr: jax.Array, alive: jax.Array, planes,
                             interpret=interpret)
 
 
+def extract_candidate_indices(thr: jax.Array, alive: jax.Array, planes,
+                              valids=(), *, key_specs: tuple,
+                              cap_rows: int, interpret: bool = False):
+    """Index-emit variant: one sweep over the KEY planes only, emitting
+    each candidate's flat element index instead of the data planes.
+
+    The caller gathers the actual rows by index afterwards (the
+    candidate set is tiny), so kernel traffic = key planes + alive, and
+    the output budget is independent of table width — this is what lets
+    a 1B-row int64 top-k run in one pass inside v5e HBM where plane
+    extraction would OOM (see dist_exec._topk_prune_fused_index).
+
+    Returns (idx_plane, mask_plane, stats): (cap_rows, 128) int32 each;
+    stats as in extract_candidate_rows. Same x32-compile note applies.
+    """
+    with jax.enable_x64(False):
+        return _extract_idx_jit(thr, alive, planes, valids,
+                                key_specs=key_specs, cap_rows=cap_rows,
+                                interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("key_specs", "cap_rows",
+                                             "interpret"))
+def _extract_idx_jit(thr, alive, planes, valids, *, key_specs: tuple,
+                     cap_rows: int, interpret: bool = False):
+    out = _extract_call(thr, alive, planes, valids, key_specs=key_specs,
+                        cap_rows=cap_rows, interpret=interpret,
+                        emit_index=True)
+    idx_plane, mask_plane = out[0][:cap_rows], out[1][:cap_rows]
+    return idx_plane, mask_plane, out[2]
+
+
 @functools.partial(jax.jit, static_argnames=("key_specs", "cap_rows",
                                              "interpret"))
 def _extract_jit(thr: jax.Array, alive: jax.Array, planes,
                  valids, *, key_specs: tuple, cap_rows: int,
                  interpret: bool = False):
+    n_planes, n_valids = len(planes), len(valids)
+    nm = n_planes + n_valids + 1
+    out = _extract_call(thr, alive, planes, valids, key_specs=key_specs,
+                        cap_rows=cap_rows, interpret=interpret,
+                        emit_index=False)
+    out_planes = [o[:cap_rows] for o in out[:n_planes]]
+    out_valids = [o[:cap_rows] for o in out[n_planes:n_planes + n_valids]]
+    out_mask = out[nm - 1][:cap_rows]
+    stats = out[nm]
+    return out_planes, out_valids, out_mask, stats
+
+
+def _extract_call(thr, alive, planes, valids, *, key_specs, cap_rows,
+                  interpret, emit_index):
     n = alive.shape[0]
     assert n % 8192 == 0, "capacity must be 8192-aligned (table.PAD)"
     r = n // _LANE
@@ -310,34 +364,30 @@ def _extract_jit(thr: jax.Array, alive: jax.Array, planes,
     ins += [as2d(v, jnp.int8) for v in valids]
 
     n_planes, n_valids = len(planes), len(valids)
-    nm = n_planes + n_valids + 1
+    n_out = 2 if emit_index else (n_planes + n_valids + 1)
     kern = functools.partial(_kernel, key_specs=key_specs,
                              n_planes=n_planes, n_valids=n_valids,
-                             cap_rows=cap_rows, br=br)
+                             cap_rows=cap_rows, br=br,
+                             emit_index=emit_index)
     blk = pl.BlockSpec((br, _LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
                   + [blk] * (1 + n_planes + n_valids)),
         out_shape=(tuple(jax.ShapeDtypeStruct((cap_rows + br, _LANE),
                                               jnp.int32)
-                         for _ in range(nm))
+                         for _ in range(n_out))
                    + (jax.ShapeDtypeStruct((4,), jnp.int32),)),
         out_specs=(tuple(pl.BlockSpec(memory_space=pl.ANY)
-                         for _ in range(nm))
+                         for _ in range(n_out))
                    + (pl.BlockSpec(memory_space=pltpu.SMEM),)),
         scratch_shapes=[
-            pltpu.VMEM((nm, br, _LANE), jnp.int32),
+            pltpu.VMEM((n_out, br, _LANE), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*ins)
-    out_planes = [o[:cap_rows] for o in out[:n_planes]]
-    out_valids = [o[:cap_rows] for o in out[n_planes:n_planes + n_valids]]
-    out_mask = out[nm - 1][:cap_rows]
-    stats = out[nm]
-    return out_planes, out_valids, out_mask, stats

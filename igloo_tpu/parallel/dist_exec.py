@@ -150,6 +150,7 @@ class DistFragment:
         self._scan_inputs: list = []     # (arrays…) appended during host prep
         self._overflows: list = []       # traced overflow flags
         self._compiled: dict = {}        # (factors) -> prepared runner
+        self._topk_index_disabled = False  # flipped on overflow retries
 
     # ---------- host phase ----------
 
@@ -165,6 +166,11 @@ class DistFragment:
                         "distributed shuffle/join capacity overflow persisted "
                         "after retries — data too skewed for configured "
                         "capacity factors") from None
+                if attempt >= 2:
+                    # degenerate first-key hi words (e.g. int64 values
+                    # all within int32 range) blow the index-mode top-k
+                    # superset — stop retrying that path
+                    self._topk_index_disabled = True
                 if not self.join_expand:
                     # first retry: switch the optimistic unique-build join
                     # to the duplicate-expansion variant
@@ -599,6 +605,9 @@ class DistFragment:
         import os
 
         if not os.environ.get("IGLOO_DISABLE_FUSED_TOPK"):
+            out = self._topk_prune_fused_index(t, key_specs, m)
+            if out is not NotImplemented:
+                return out              # pruned table, or None (degenerate)
             out = self._topk_prune_fused(t, key_specs, m)
             if out is not NotImplemented:
                 return out
@@ -616,6 +625,233 @@ class DistFragment:
         if dt == jnp.float64:
             return "fbits64"          # f32-bit plane precomputed outside
         return None
+
+    def _topk_sample_threshold(self, t: STable, key_specs, r, SR,
+                               rstride, j_up, factor):
+        """Row-strided sample of the exact sort tuple -> the j_up-th
+        order statistic (t_ranks u64 per key, t_i row tiebreak)."""
+        off0 = (7919 * factor) % rstride
+        rows_sel = off0 + rstride * jnp.arange(SR, dtype=jnp.int32)
+        idx_s = (rows_sel[:, None] * 128
+                 + jnp.arange(128, dtype=jnp.int32)[None, :]).reshape(-1)
+        alive_s = t.alive.reshape(r, 128)[rows_sel, :].reshape(-1)
+        umax = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        samp = []
+        for a, v, asc, nf in key_specs:
+            a_s = a.reshape(r, 128)[rows_sel, :].reshape(-1)
+            v_s = (v.reshape(r, 128)[rows_sel, :].reshape(-1)
+                   if v is not None else None)
+            samp.append(jnp.where(alive_s,
+                                  _orderable_rank(a_s, v_s, asc, nf),
+                                  umax))
+        idx_d_s = jnp.where(alive_s, idx_s, jnp.int32(0x7FFFFFFF))
+        srt = jax.lax.sort(samp + [idx_d_s], num_keys=len(samp) + 1)
+        t_ranks = [s[j_up] for s in srt[:-1]]
+        t_i = srt[-1][j_up]
+        return t_ranks, t_i
+
+    @staticmethod
+    def _topk_geometry(n: int, m: int, factor: int):
+        """Shared sizing for every top-k prune path. The sample size
+        scales with n (stride <= 512) so the candidate superset stays
+        ~2·m·slack rows even at 1B rows, bounded by a 2M-element sample
+        sort."""
+        import math
+
+        S = min(max(1 << 16, n // 512), 1 << 21)
+        S = min(S, n)
+        SR = S // 128
+        r = n // 128
+        stride = max(n // S, 1)
+        rstride = max(r // SR, 1)
+        j = -(-m * S // n)
+        slack = (4 * math.isqrt(j + 1) + 16) * factor
+        j_up = min(S - 1, j + slack)
+        base_cap = (2 * (j_up + 2) * stride + 8192) * max(factor // 4, 1)
+        return S, SR, r, stride, rstride, j_up, base_cap
+
+    @staticmethod
+    def _hi_rank32(hi_bits_i32, valid, klass: str, ascending: bool,
+                   nulls_first: bool):
+        """uint32 hi word of _orderable_rank's u64, computed from the
+        key's hi-bit plane only — bit-identical to what the extract
+        kernel's _rank_pair computes for its uhi (parity is what makes
+        the threshold compare exact)."""
+        u = jax.lax.bitcast_convert_type(hi_bits_i32, jnp.uint32)
+        if klass == "i64":
+            u = u ^ jnp.uint32(0x80000000)
+        else:                                       # fbits
+            neg = (u >> jnp.uint32(31)) > 0
+            u = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+        if not ascending:
+            u = ~u
+        u = u >> jnp.uint32(1)
+        if valid is not None:
+            top = jnp.uint32(0x80000000)
+            zero = jnp.uint32(0)
+            nr = (jnp.where(valid, top, zero) if nulls_first
+                  else jnp.where(valid, zero, top))
+            u = jnp.where(valid, u, zero) | nr
+        return u
+
+    def _topk_prune_fused_index(self, t: STable, key_specs, m: int):
+        """Index-emit top-k candidate pass (ops/pallas/extract.py
+        extract_candidate_indices): ONE sweep over the FIRST sort key's
+        hi-word rank plane selects the candidate set {rows: hi_rank <=
+        T_hi}, the kernel emits row indices, and a ~cap-element gather
+        finishes. Two facts make this both cheap and exact:
+
+        1. The hi-word j_up-th order statistic of the sample EQUALS the
+           hi word of the exact (hi,lo) j_up-th statistic — sorting by a
+           prefix preserves each position's prefix. So the sample phase
+           reads ONLY the hi plane (strided slices, no gathers).
+        2. The set {hi_rank <= T_hi} is DOWNWARD CLOSED in the exact
+           lexicographic order: any excluded row has hi > T_hi and
+           therefore ranks after every included row. Hence if the set
+           holds >= min(m, alive) rows it provably contains the true
+           top-m, and NO exact re-verification is needed — the
+           downstream sort of the ~cap-row set finishes the query.
+
+        Peak-memory design (the 1B-row int64 ORDER BY LIMIT case): the
+        whole pipeline touches the int64 column only through (a) the
+        hi plane and (b) a per-plane candidate gather sequenced with
+        optimization_barrier so the x64-emulation's 4 GB split halves
+        are never live together. Total ~13 GB on a 15.75 GB v5e where
+        plane extraction or a full sort would OOM.
+
+        Degenerate hi words (values all inside int32 range) blow the
+        candidate count — the overflow retry disables this path
+        (run() sets _topk_index_disabled) and dense/general take over."""
+        import os
+
+        from ..ops.pallas.extract import extract_candidate_indices
+        from ..ops.masks import compact
+
+        n = t.cap
+        factor = self.shuffle_factor
+        min_n = int(os.environ.get("IGLOO_TOPK_INDEX_MIN", 1 << 24))
+        if (m <= 0 or n < min_n or n % 8192 or n > (1 << 31)
+                or self._topk_index_disabled):
+            return NotImplemented
+        a0, v0, asc0, nf0 = key_specs[0]
+        klass0 = self._extract_key_class(a0)
+        if klass0 not in ("i64", "fbits", "fbits64"):
+            return NotImplemented
+
+        S, SR, r, stride, rstride, j_up, base_cap = self._topk_geometry(
+            n, m, factor)
+        if base_cap >= min(max(n // 32, 1 << 20), 64 << 20):
+            return None                 # degenerate — full sort instead
+        cap = pad_count(min(n, base_cap))
+        budget_rows = (256 << 20) // (2 * 512) // 64 * 64
+        cap_rows = min(-(-cap // 64) * 64, -(-r // 64) * 64)
+        if cap_rows < 256 or cap_rows > budget_rows:
+            return NotImplemented       # cannot guarantee single pass
+
+        # ---- first-key hi-word plane (the kernel's only data input) ----
+        if klass0 == "i64":
+            bits = a0.astype(jnp.uint64)
+            hi = jax.lax.bitcast_convert_type(
+                (bits >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32)
+            kspec = ("i64", v0 is not None, asc0, nf0, (0, 0), 0)
+            kl = "i64"
+        else:                           # fbits / fbits64: exact hi rank
+            hi = jax.lax.bitcast_convert_type(
+                a0.astype(jnp.float32), jnp.int32)
+            kspec = ("fbits", v0 is not None, asc0, nf0, (0,), 0)
+            kl = "fbits"
+        valids = (v0,) if v0 is not None else ()
+
+        # ---- hi-only sample via strided row slices (no gathers, no
+        # full-width rank materialization) ----
+        off0 = (7919 * factor) % rstride
+        hi2d = hi.reshape(r, 128)
+        hs = hi2d[off0::rstride][:SR].reshape(-1)
+        alive_s = t.alive.reshape(r, 128)[off0::rstride][:SR].reshape(-1)
+        v_s = (v0.reshape(r, 128)[off0::rstride][:SR].reshape(-1)
+               if v0 is not None else None)
+        u_s = self._hi_rank32(hs, v_s, kl, asc0, nf0)
+        u_s = jnp.where(alive_s, u_s, jnp.uint32(0xFFFFFFFF))
+        t_hi = jax.lax.sort(u_s)[j_up]
+
+        thr = jnp.stack([
+            jnp.int32(0x7FFFFFFF),
+            jax.lax.bitcast_convert_type(t_hi, jnp.int32),
+            jnp.int32(-1),              # lo word saturated: ties included
+        ])
+
+        interpret = jax.default_backend() != "tpu"
+        idx_plane, mask_plane, stats = extract_candidate_indices(
+            thr, t.alive, (hi,), valids, key_specs=(kspec,),
+            cap_rows=cap_rows, interpret=interpret)
+        rows_used, sup_cnt, n_alive, ovf = (stats[0], stats[1], stats[2],
+                                            stats[3])
+
+        rowix = jax.lax.broadcasted_iota(jnp.int32, (cap_rows, 1), 0)
+        mask_flat = ((mask_plane != 0)
+                     & (rowix < rows_used)).reshape(cap_rows * 128)
+        idx_flat = idx_plane.reshape(cap_rows * 128)
+        c_arrs, _cv, _c2 = compact(mask_flat, [idx_flat], [None])
+        idx_c = jnp.clip(c_arrs[0][:cap], 0, n - 1)
+
+        # ---- per-plane candidate gather, barrier-sequenced so only
+        # ONE full-width split plane is ever live ----
+        seq_dep = idx_c
+
+        def lean_gather(a):
+            nonlocal seq_dep
+            a2, _ = jax.lax.optimization_barrier((a, seq_dep))
+            if a2.dtype in (jnp.int64, jnp.uint64):
+                b = a2.astype(jnp.uint64)
+                hi_f = (b >> jnp.uint64(32)).astype(jnp.uint32)
+                hg = hi_f[idx_c]
+                a3, _ = jax.lax.optimization_barrier((a2, hg))
+                lo_f = (a3.astype(jnp.uint64)
+                        & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+                lg = lo_f[idx_c]
+                out = ((hg.astype(jnp.uint64) << jnp.uint64(32))
+                       | lg.astype(jnp.uint64)).astype(a.dtype)
+            elif a2.dtype == jnp.float64:
+                out = a2[idx_c]
+            else:
+                out = a2[idx_c]
+            seq_dep = jax.lax.optimization_barrier((out,))[0].ravel()[:1]
+            return out
+
+        slot: dict[int, int] = {}
+        gathered: list = []
+        gathered_v: list = []
+
+        def add(a, v):
+            if a is None:
+                return None
+            if id(a) not in slot:
+                slot[id(a)] = len(gathered)
+                gathered.append(lean_gather(a))
+                gathered_v.append(None if v is None else lean_gather(v))
+            return slot[id(a)]
+
+        col_slots = [add(c.arr, c.valid) for c in t.cols]
+        key_slots = [add(a, v) for a, v, _, _ in key_specs]
+
+        slot_live = jnp.arange(cap) < jnp.minimum(sup_cnt, cap)
+        ok = ((sup_cnt >= jnp.minimum(jnp.int32(m), n_alive))
+              & (sup_cnt <= cap) & (ovf == 0))
+        self._overflow_flags.append(~ok)
+
+        def take(s):
+            return gathered[s], gathered_v[s]
+
+        new_cols = []
+        for c, s in zip(t.cols, col_slots):
+            a, v = take(s)
+            new_cols.append(SCol(a, v, c.dtype, c.dictionary, c.stats))
+        new_specs = []
+        for (ak, vk, asc, nf), s in zip(key_specs, key_slots):
+            a, v = take(s)
+            new_specs.append((a, v, asc, nf))
+        return (STable(new_cols, t.names, slot_live, cap, prefix=False),
+                new_specs)
 
     def _topk_prune_fused(self, t: STable, key_specs, m: int):
         """One-pass candidate extraction (see _topk_prune docstring).
@@ -641,16 +877,12 @@ class DistFragment:
         classes = [self._extract_key_class(a) for a, _, _, _ in key_specs]
         if any(c is None for c in classes):
             return NotImplemented
-        S = min(1 << 16, n)
-        SR = S // 128                          # sample rows of 128 lanes
-        r = n // 128
-        stride = max(n // S, 1)
-        rstride = max(r // SR, 1)
-        j = -(-m * S // n)
-        slack = (4 * math.isqrt(j + 1) + 16) * factor
-        j_up = min(S - 1, j + slack)
-        base_cap = (2 * (j_up + 2) * stride + 8192) * max(factor // 4, 1)
-        if base_cap >= min(n, 1 << 20):
+        S, SR, r, stride, rstride, j_up, base_cap = self._topk_geometry(
+            n, m, factor)
+        # worthwhile whenever candidates ≪ n; the old fixed 1M ceiling
+        # wrongly sent the 1B-row top-k (2.7M candidates, 0.25%) to a
+        # full bitonic sort
+        if base_cap >= min(max(n // 32, 1 << 20), 64 << 20):
             return None                 # degenerate — full sort instead
         cap = pad_count(min(n, base_cap))
 
@@ -716,26 +948,16 @@ class DistFragment:
                        budget_rows)
         if cap_rows < 256:
             return NotImplemented
+        if budget_rows < min(-(-cap // 64) * 64, -(-r // 64) * 64):
+            # output budget is the binding constraint: a single pass
+            # cannot be guaranteed (sparse candidates amplify 128x in
+            # row-sparse extraction) — general path instead of looping
+            # overflow retries
+            return NotImplemented
 
         # ---- row-strided sample -> threshold tuple ----
-        off0 = (7919 * factor) % rstride
-        rows_sel = off0 + rstride * jnp.arange(SR, dtype=jnp.int32)
-        idx_s = (rows_sel[:, None] * 128
-                 + jnp.arange(128, dtype=jnp.int32)[None, :]).reshape(-1)
-        alive_s = t.alive.reshape(r, 128)[rows_sel, :].reshape(-1)
-        umax = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-        samp = []
-        for a, v, asc, nf in key_specs:
-            a_s = a.reshape(r, 128)[rows_sel, :].reshape(-1)
-            v_s = (v.reshape(r, 128)[rows_sel, :].reshape(-1)
-                   if v is not None else None)
-            samp.append(jnp.where(alive_s,
-                                  _orderable_rank(a_s, v_s, asc, nf),
-                                  umax))
-        idx_d_s = jnp.where(alive_s, idx_s, jnp.int32(0x7FFFFFFF))
-        srt = jax.lax.sort(samp + [idx_d_s], num_keys=len(samp) + 1)
-        t_ranks = [s[j_up] for s in srt[:-1]]
-        t_i = srt[-1][j_up]
+        t_ranks, t_i = self._topk_sample_threshold(
+            t, key_specs, r, SR, rstride, j_up, factor)
 
         words = [t_i.astype(jnp.int32)]
         for tr in t_ranks:
@@ -805,13 +1027,12 @@ class DistFragment:
         factor = self.shuffle_factor
         if m <= 0 or n < (1 << 18):
             return None
-        S = min(1 << 16, n)
-        stride = max(n // S, 1)
-        j = -(-m * S // n)
-        slack = (4 * math.isqrt(j + 1) + 16) * factor
-        j_up = min(S - 1, j + slack)
-        base_cap = (2 * (j_up + 2) * stride + 8192) * max(factor // 4, 1)
-        if base_cap >= min(n, 1 << 20):
+        S, _SR, _r, stride, _rs, j_up, base_cap = self._topk_geometry(
+            n, m, factor)
+        # worthwhile whenever candidates ≪ n; the old fixed 1M ceiling
+        # wrongly sent the 1B-row top-k (2.7M candidates, 0.25%) to a
+        # full bitonic sort
+        if base_cap >= min(max(n // 32, 1 << 20), 64 << 20):
             return None                 # degenerate — full sort instead
         cap = pad_count(min(n, base_cap))
 

@@ -97,6 +97,29 @@ def main() -> int:
 
     check("pallas/extract.extract_candidate_rows", smoke_extract)
 
+    # ---- extract: index-emit variant (1B top-k path) ----
+    def smoke_extract_idx():
+        from igloo_tpu.ops.pallas.extract import extract_candidate_indices
+        n = 8192
+        alive = jnp.ones((n,), jnp.bool_)
+        k64 = rng.integers(0, 1 << 62, n)
+        hi = jnp.asarray((k64 >> 32).astype(np.uint32).view(np.int32))
+        key_specs = (("i64", False, True, True, (0, 0), 0),)
+        thr = jnp.asarray(
+            [0x7FFFFFFF,
+             np.int32((((1 << 61) >> 32) ^ 0x80000000) >> 1), -1],
+            jnp.int32)
+        idx_p, mask_p, stats = extract_candidate_indices(
+            thr, alive, (hi,), key_specs=key_specs, cap_rows=8192,
+            interpret=False)
+        s = jax.device_get(stats)
+        # uhi = ((hi ^ 0x80000000) >> 1); threshold at key 2^61 → ~half
+        want = int((((k64 >> 32).astype(np.uint32) ^ 0x80000000) >> 1
+                    <= (((1 << 61) >> 32) ^ 0x80000000) >> 1).sum())
+        assert s[1] == want, (s, want)
+
+    check("pallas/extract.extract_candidate_indices", smoke_extract_idx)
+
     # ---- compact: dense mask compaction ----
     def smoke_compact():
         from igloo_tpu.ops.pallas.compact import compact_rows

@@ -84,3 +84,53 @@ def test_fused_matches_general_path(eng, monkeypatch):
     monkeypatch.setenv("IGLOO_DISABLE_FUSED_TOPK", "1")
     general = e2.execute(q).to_pydict()
     assert fused == general
+
+
+def test_index_mode_matches_general(monkeypatch):
+    """Index-emit prune (hi-word superset + gather + exact re-verify)
+    must match the general path exactly — int64, f64 and multi-key
+    (i64 leading) shapes, asc and desc."""
+    import igloo_tpu
+
+    monkeypatch.setenv("IGLOO_TOPK_INDEX_MIN", str(1 << 18))
+    rng = np.random.default_rng(7)
+    k = rng.integers(-(1 << 40), 1 << 40, N)
+    f = rng.normal(size=N) * 1e6
+    p = rng.integers(0, 100, N)
+
+    def fresh():
+        e = igloo_tpu.QueryEngine(result_cache=False)
+        e.register_table("ti", pa.table({
+            "k": pa.array(k, type=pa.int64()),
+            "f": pa.array(f, type=pa.float64()),
+            "p": pa.array(p, type=pa.int32()),
+        }))
+        return e
+
+    queries = [
+        "SELECT k, p FROM ti ORDER BY k LIMIT 40",
+        "SELECT k FROM ti ORDER BY k DESC LIMIT 33",
+        "SELECT f, p FROM ti ORDER BY f LIMIT 25",
+        "SELECT k, f FROM ti ORDER BY k, f DESC LIMIT 20",
+    ]
+    e1 = fresh()
+    got = [e1.execute(q).to_pydict() for q in queries]
+    monkeypatch.setenv("IGLOO_DISABLE_FUSED_TOPK", "1")
+    e2 = fresh()
+    want = [e2.execute(q).to_pydict() for q in queries]
+    assert got == want
+
+
+def test_index_mode_degenerate_hi_falls_back(monkeypatch):
+    """int64 keys all inside int32 range give a constant hi word — the
+    superset blows the candidate cap and the overflow retry must
+    disable index mode and still return the right rows."""
+    import igloo_tpu
+
+    monkeypatch.setenv("IGLOO_TOPK_INDEX_MIN", str(1 << 18))
+    rng = np.random.default_rng(9)
+    k = rng.integers(0, 1 << 20, N)      # hi word == 0 for every row
+    e = igloo_tpu.QueryEngine(result_cache=False)
+    e.register_table("td", pa.table({"k": pa.array(k, type=pa.int64())}))
+    got = e.execute("SELECT k FROM td ORDER BY k LIMIT 50").column(0).to_pylist()
+    assert got == sorted(k.tolist())[:50]
