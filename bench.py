@@ -33,7 +33,9 @@ roofline denominator, bytes per input row; "+w" = write traffic):
                          Fact read l_okey(8)+l_qty(4); dim side
                          (8+4+4str)x15M amortized over 60M = +4; probe
                          tables in HBM                     = 16 B/row
-  #4 sort / top-k        1B int64 keys (BASELINE's stated scale). The
+  #4 sort / top-k        0.75B int64 keys (BASELINE says 1B; the x64
+                         int64 emulation needs 2x the column in HBM —
+                         see the config #4 comment). The
                          index-emit prune reads the key once for the
                          hi plane + the plane itself + alive
                          (8+4+1), candidate gather negligible
@@ -183,6 +185,17 @@ def main() -> None:
 
     results = {}
 
+    def cleanup() -> None:
+        # fragment/result caches retain device arrays of dropped tables
+        # (compiled runners capture their input buffers); the 0.75B sort
+        # needs ~15.5 of the 15.75 GB chip, so every leftover matters
+        import gc
+        eng._last_frag = None
+        eng._frag_cache.clear()
+        gc.collect()
+        live = sum(x.nbytes for x in jax.live_arrays())
+        _log(f"live device bytes: {live / 2**30:.2f} GiB")
+
     def run(name: str, sql: str, n_rows: int, bytes_per_row: float) -> None:
         wall = _time_query(eng, sql)
         dev = _time_device(eng, sql)
@@ -216,6 +229,7 @@ def main() -> None:
     run("filter_projection", "SELECT name FROM people WHERE age > 25",
         n1, 13)
     eng.sql("DROP TABLE people")
+    cleanup()
 
     # ---- config #2: low-cardinality hash aggregate ----
     n2 = 100_000_000 // scale   # BASELINE config #2: 100M rows
@@ -234,6 +248,7 @@ def main() -> None:
         "SELECT k, sum(v) AS s, count(*) AS c FROM events GROUP BY k",
         n2, 9)
     eng.sql("DROP TABLE events")
+    cleanup()
 
     # ---- config #3: SF10-shaped fact-dim join, sparse int64 keys,
     # post-join filter on a dim STRING column ----
@@ -268,6 +283,7 @@ def main() -> None:
         n3, 16)
     eng.sql("DROP TABLE lineitem")
     eng.sql("DROP TABLE orders")
+    cleanup()
 
     # ---- config #5 proxy: zipf-skewed GROUP BY + join, one chip ----
     n5 = (1 << 24) // scale
@@ -302,9 +318,16 @@ def main() -> None:
         n5, 13)
     eng.sql("DROP TABLE zev")
     eng.sql("DROP TABLE zdim")
+    cleanup()
 
-    # ---- config #4: top-k over 1B int64 keys (BASELINE scale) ----
-    n4 = (1 << 30) // scale
+    # ---- config #4: top-k over int64 keys near BASELINE's 1B scale ----
+    # 0.75B, not 1B: XLA's x64 emulation cannot build or update an int64
+    # column without BOTH 4 GB split halves plus the 8 GB buffer live at
+    # once — a 2^30-row int64 column peaks at 16.00 GB against the v5e's
+    # 15.75 GB (measured: "Exceeded hbm capacity by 258M"). 3/4 x 2^30
+    # is the largest clean scale; the real fix is paired-int32 physical
+    # storage for 64-bit columns (planned).
+    n4 = (3 << 28) // scale
     _log("generating 1B-row sort table (device)")
 
     def gen_keys(base, cnt):

@@ -352,8 +352,13 @@ class QueryEngine:
         scans(plan)
         frag = self._frag_cache.get(id(plan))
         if frag is None or frag.ptables != ptables:
-            frag = DistFragment(self._get_mesh(), ptables, self.functions)
+            import os
+            frag = DistFragment(
+                self._get_mesh(), ptables, self.functions,
+                broadcast_rows=int(os.environ.get("IGLOO_BROADCAST_ROWS",
+                                                  1 << 20)))
             self._frag_cache[id(plan)] = frag
+        self._last_frag = frag          # scaling harness reads .last_cost
         return frag.run(plan).to_device_table()
 
     def _as_scan(self, child, result: DeviceTable):

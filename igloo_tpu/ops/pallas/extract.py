@@ -134,11 +134,12 @@ def _predicate(thr_ref, planes, valids_i32, key_specs, br, i):
 
 
 def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
-            cap_rows: int, br: int, emit_index: bool = False):
+            cap_rows: int, br: int, emit_index: bool = False,
+            has_alive: bool = True, n_thr: int = 0):
     n_out = 2 if emit_index else (n_planes + n_valids + 1)
     it = iter(refs)
     thr_ref = next(it)
-    alive_ref = next(it)
+    alive_ref = next(it) if has_alive else None
     plane_refs = [next(it) for _ in range(n_planes)]
     valid_refs = [next(it) for _ in range(n_valids)]
     out_refs = [next(it) for _ in range(n_out)]
@@ -158,8 +159,18 @@ def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
     # alive/valid planes arrive as int8 and are astype'd, never compared:
     # an i1 derived from an int8 compare that feeds bit ops triggers the
     # Mosaic "Invalid relayout ... xi1" compiler crash; i1 from int32
-    # compares (the predicate) is fine
-    ai = alive_ref[...].astype(jnp.int32)
+    # compares (the predicate) is fine.
+    # has_alive=False: prefix-alive tables pass the row count as the
+    # LAST thr word instead of a (cap,) alive plane — at the 0.75B-row
+    # top-k that plane (+ its int8 conversion) is 1.5 GB of HBM this
+    # path cannot afford.
+    if has_alive:
+        ai = alive_ref[...].astype(jnp.int32)
+    else:
+        sub0 = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        g0 = (i * br + sub0) * _LANE + lane0
+        ai = jnp.where(g0 < thr_ref[n_thr - 1], jnp.int32(1), jnp.int32(0))
     planes = [r[...] for r in plane_refs]
     valids_i32 = [r[...].astype(jnp.int32) for r in valid_refs]
 
@@ -349,7 +360,8 @@ def _extract_jit(thr: jax.Array, alive: jax.Array, planes,
 
 def _extract_call(thr, alive, planes, valids, *, key_specs, cap_rows,
                   interpret, emit_index):
-    n = alive.shape[0]
+    has_alive = alive is not None
+    n = (alive if has_alive else planes[0]).shape[0]
     assert n % 8192 == 0, "capacity must be 8192-aligned (table.PAD)"
     r = n // _LANE
     br = next(b for b in (256, 128, 64) if r % b == 0)
@@ -359,7 +371,9 @@ def _extract_call(thr, alive, planes, valids, *, key_specs, cap_rows,
     def as2d(x, dt):
         return x.astype(dt).reshape(r, _LANE)
 
-    ins = [thr.astype(jnp.int32), as2d(alive, jnp.int8)]
+    ins = [thr.astype(jnp.int32)]
+    if has_alive:
+        ins.append(as2d(alive, jnp.int8))
     ins += [as2d(p, jnp.int32) for p in planes]
     ins += [as2d(v, jnp.int8) for v in valids]
 
@@ -368,14 +382,15 @@ def _extract_call(thr, alive, planes, valids, *, key_specs, cap_rows,
     kern = functools.partial(_kernel, key_specs=key_specs,
                              n_planes=n_planes, n_valids=n_valids,
                              cap_rows=cap_rows, br=br,
-                             emit_index=emit_index)
+                             emit_index=emit_index,
+                             has_alive=has_alive, n_thr=thr.shape[0])
     blk = pl.BlockSpec((br, _LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                  + [blk] * (1 + n_planes + n_valids)),
+                  + [blk] * (len(ins) - 1)),
         out_shape=(tuple(jax.ShapeDtypeStruct((cap_rows + br, _LANE),
                                               jnp.int32)
                          for _ in range(n_out))

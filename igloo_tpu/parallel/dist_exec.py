@@ -25,6 +25,7 @@ capacity (a recompile, not silent data loss).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -126,6 +127,10 @@ class STable:
     # sorted outputs, arange<ngroups aggregates) — egress then skips
     # physical compaction entirely
     prefix: bool = False
+    # for prefix tables: the traced row-count scalar behind `alive`,
+    # when the producer has it. Lets huge-table paths (index top-k)
+    # avoid materializing/converting the (cap,) alive plane at all.
+    alive_count: object = None
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +388,8 @@ class DistFragment:
                 cap = cols[0].arr.shape[0] if cols else 0
                 alive = jnp.arange(cap) < count
                 env[id(node)] = STable(cols, names, alive, cap,
-                                       prefix=True)
+                                       prefix=True,
+                                       alive_count=count.astype(jnp.int32))
 
             self._aux_offsets = self._compute_aux_offsets()
             out = self._exec(plan, env)
@@ -434,7 +440,24 @@ class DistFragment:
                                [col_out] * n_out,
                                P("d"), P()),
                     check_vma=False)
-                state["fn"] = jax.jit(sm)
+                fn = jax.jit(sm)
+                if os.environ.get("IGLOO_COLLECT_COST"):
+                    # scaling harness: expose XLA's per-shard cost model
+                    # (flops / bytes accessed of the compiled SPMD
+                    # program) — the honest single-machine proxy for
+                    # device work at each mesh size
+                    compiled = fn.lower(*in_arrays, *aux_arrays).compile()
+                    try:
+                        self.last_cost = dict(compiled.cost_analysis())
+                    except Exception:       # backend without cost model
+                        self.last_cost = {}
+                    try:
+                        self.last_memory = compiled.memory_analysis()
+                    except Exception:
+                        self.last_memory = None
+                    state["fn"] = compiled
+                else:
+                    state["fn"] = fn
             return state["fn"](*in_arrays, *aux_arrays)
 
         return run
@@ -477,7 +500,8 @@ class DistFragment:
                 cols.append(SCol(vv.arr.astype(f.dtype.to_jax()), vv.valid,
                                  f.dtype, d, stats))
             return STable(cols, [f.name for f in node.schema], t.alive,
-                          t.cap, prefix=t.prefix)
+                          t.cap, prefix=t.prefix,
+                          alive_count=t.alive_count)
         if isinstance(node, L.Aggregate):
             return self._exec_aggregate(node, env)
         if isinstance(node, L.Distinct):
@@ -694,6 +718,28 @@ class DistFragment:
             u = jnp.where(valid, u, zero) | nr
         return u
 
+    @staticmethod
+    def _u32_plane_chunked(a, hi: bool, chunk: int = 1 << 27):
+        """hi/lo 32-bit words of an int64 column as an int32 plane,
+        computed chunk-wise: a full-width u64 op materializes the x64
+        split PAIR (2x the column) as unfusible temps, while
+        slice->convert->i32-DUS keeps temps at chunk size (measured:
+        the 0.75B-row sort fragment drops from 15.0 GB to ~10 GB
+        peak)."""
+        n = a.shape[0]
+        ch = min(n, chunk)
+        buf = jnp.zeros((n,), jnp.int32)
+        base = 0
+        while base < n:
+            c = jax.lax.dynamic_slice(a, (base,), (min(ch, n - base),))
+            b = c.astype(jnp.uint64)
+            w = (b >> jnp.uint64(32)) if hi else (b & jnp.uint64(0xFFFFFFFF))
+            h = jax.lax.bitcast_convert_type(w.astype(jnp.uint32),
+                                             jnp.int32)
+            buf = jax.lax.dynamic_update_slice(buf, h, (base,))
+            base += ch
+        return buf
+
     def _topk_prune_fused_index(self, t: STable, key_specs, m: int):
         """Index-emit top-k candidate pass (ops/pallas/extract.py
         extract_candidate_indices): ONE sweep over the FIRST sort key's
@@ -750,9 +796,7 @@ class DistFragment:
 
         # ---- first-key hi-word plane (the kernel's only data input) ----
         if klass0 == "i64":
-            bits = a0.astype(jnp.uint64)
-            hi = jax.lax.bitcast_convert_type(
-                (bits >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32)
+            hi = self._u32_plane_chunked(a0, hi=True)
             kspec = ("i64", v0 is not None, asc0, nf0, (0, 0), 0)
             kl = "i64"
         else:                           # fbits / fbits64: exact hi rank
@@ -764,28 +808,48 @@ class DistFragment:
 
         # ---- hi-only sample via strided row slices (no gathers, no
         # full-width rank materialization) ----
+        prefix_count = (t.alive_count if t.prefix
+                        and t.alive_count is not None else None)
         off0 = (7919 * factor) % rstride
         hi2d = hi.reshape(r, 128)
         hs = hi2d[off0::rstride][:SR].reshape(-1)
-        alive_s = t.alive.reshape(r, 128)[off0::rstride][:SR].reshape(-1)
+        if prefix_count is not None:
+            # avoid touching the (cap,) alive plane entirely — with the
+            # prefix row count the sampled elements' aliveness is just
+            # an index compare (at 0.75B rows the plane + its int8 copy
+            # are 1.5 GB this path cannot afford)
+            rows_sel = off0 + rstride * jnp.arange(SR, dtype=jnp.int32)
+            gidx_s = (rows_sel[:, None] * 128
+                      + jnp.arange(128, dtype=jnp.int32)[None, :]
+                      ).reshape(-1)
+            alive_s = gidx_s < prefix_count
+        else:
+            alive_s = t.alive.reshape(r, 128)[off0::rstride][:SR] \
+                .reshape(-1)
         v_s = (v0.reshape(r, 128)[off0::rstride][:SR].reshape(-1)
                if v0 is not None else None)
         u_s = self._hi_rank32(hs, v_s, kl, asc0, nf0)
         u_s = jnp.where(alive_s, u_s, jnp.uint32(0xFFFFFFFF))
         t_hi = jax.lax.sort(u_s)[j_up]
 
-        thr = jnp.stack([
+        thr_words = [
             jnp.int32(0x7FFFFFFF),
             jax.lax.bitcast_convert_type(t_hi, jnp.int32),
             jnp.int32(-1),              # lo word saturated: ties included
-        ])
+        ]
+        if prefix_count is not None:
+            thr_words.append(prefix_count)
+        thr = jnp.stack(thr_words)
 
         interpret = jax.default_backend() != "tpu"
         idx_plane, mask_plane, stats = extract_candidate_indices(
-            thr, t.alive, (hi,), valids, key_specs=(kspec,),
+            thr, None if prefix_count is not None else t.alive,
+            (hi,), valids, key_specs=(kspec,),
             cap_rows=cap_rows, interpret=interpret)
         rows_used, sup_cnt, n_alive, ovf = (stats[0], stats[1], stats[2],
                                             stats[3])
+        if prefix_count is not None:
+            n_alive = prefix_count
 
         rowix = jax.lax.broadcasted_iota(jnp.int32, (cap_rows, 1), 0)
         mask_flat = ((mask_plane != 0)
@@ -802,15 +866,16 @@ class DistFragment:
             nonlocal seq_dep
             a2, _ = jax.lax.optimization_barrier((a, seq_dep))
             if a2.dtype in (jnp.int64, jnp.uint64):
-                b = a2.astype(jnp.uint64)
-                hi_f = (b >> jnp.uint64(32)).astype(jnp.uint32)
+                hi_f = self._u32_plane_chunked(a2, hi=True)
                 hg = hi_f[idx_c]
                 a3, _ = jax.lax.optimization_barrier((a2, hg))
-                lo_f = (a3.astype(jnp.uint64)
-                        & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+                lo_f = self._u32_plane_chunked(a3, hi=False)
                 lg = lo_f[idx_c]
-                out = ((hg.astype(jnp.uint64) << jnp.uint64(32))
-                       | lg.astype(jnp.uint64)).astype(a.dtype)
+                hgu = jax.lax.bitcast_convert_type(
+                    hg, jnp.uint32).astype(jnp.uint64)
+                lgu = jax.lax.bitcast_convert_type(
+                    lg, jnp.uint32).astype(jnp.uint64)
+                out = ((hgu << jnp.uint64(32)) | lgu).astype(a.dtype)
             elif a2.dtype == jnp.float64:
                 out = a2[idx_c]
             else:
@@ -1658,6 +1723,12 @@ class DistFragment:
 
         if broadcast:
             # all_gather the build side; probe side stays put (config #3)
+            from . import shuffle as _sh
+            _sh.record_exchange(sum(
+                (c.arr.dtype.itemsize + (1 if c.valid is not None else 0))
+                * rt.cap * (self.P - 1) for c in rt.cols)
+                + rt.cap * (self.P - 1))
+
             def gat(x):
                 return jax.lax.all_gather(x, "d", tiled=True)
             r_cols = [SCol(gat(c.arr),
@@ -1675,23 +1746,78 @@ class DistFragment:
         lkey64, _ = join_ops.normalize_keys([a for a, _ in l_keys])
         rkey64, _ = join_ops.normalize_keys([a for a, _ in r_keys])
 
-        def do_shuffle(t, keys, key64):
+        # ---- skew-aware repartitioning (north star / SURVEY §7 hard
+        # part 4): heavy-hitter keys detected from strided samples of
+        # BOTH sides; hot probe rows take a per-row salted destination,
+        # hot build rows replicate into every destination's hot region —
+        # a zipf-keyed join then fits the uniform capacity instead of
+        # looping capacity-doubling retries. RIGHT/FULL keep the plain
+        # shuffle (replicated build rows would duplicate their
+        # unmatched emission); null-aware ANTI keeps it too (its null
+        # accounting counts local build rows).
+        from .shuffle import (detect_hot_keys, is_hot, salted_dest,
+                              shuffle_rows_replicated)
+        skew_ok = node.kind in (JoinKind.INNER, JoinKind.LEFT,
+                                JoinKind.SEMI) or (
+            node.kind is JoinKind.ANTI
+            and not getattr(node, "null_aware_anti", True))
+        l_cap_d = self._dest_cap(lt.cap)
+        r_cap_d = self._dest_cap(rt.cap)
+        if skew_ok:
+            hkL, hfL = detect_hot_keys(lkey64, lt.alive, l_cap_d // 8)
+            hkR, hfR = detect_hot_keys(rkey64, rt.alive, r_cap_d // 8)
+            hk = jnp.concatenate([hkL, hkR])
+            hf = jnp.concatenate([hfL, hfR])
+            # the hot set MUST be globally consistent: shards detect on
+            # their local samples, and a probe salted by one shard must
+            # find replicated build rows from shards that did NOT see
+            # the key as hot. all_gather the candidate sets, dedup by
+            # key (a flagged duplicate sorts first in its run), keep 64.
+            hk_g = jax.lax.all_gather(hk, "d", tiled=True)
+            hf_g = jax.lax.all_gather(hf, "d", tiled=True)
+            sk2, sf2 = jax.lax.sort(
+                [hk_g, (~hf_g).astype(jnp.int32)], num_keys=2)
+            first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                     sk2[1:] != sk2[:-1]])
+            cand = first & (sf2 == 0)
+            sel = jnp.argsort(~cand, stable=True)[:64]
+            hot_keys = sk2[sel]
+            hot_flag = cand[sel]
+
+        def do_shuffle(t, keys, key64, side):
             pairs = [(c.arr, c.valid) for c in t.cols] + \
                     [(a, v) for a, v in keys]
             dest = dest_from_key(key64, self.P)
             dest_cap = self._dest_cap(t.cap)
-            new_pairs, alive, ovf = shuffle_rows(pairs, t.alive, dest,
-                                                 self.P, dest_cap)
+            if skew_ok and side == "probe":
+                hot = is_hot(key64, hot_keys, hot_flag)
+                iota = jnp.arange(t.cap, dtype=jnp.int32)
+                dest = jnp.where(hot, salted_dest(key64, iota, self.P),
+                                 dest)
+                new_pairs, alive, ovf = shuffle_rows(
+                    pairs, t.alive, dest, self.P, dest_cap)
+                cap2 = self.P * dest_cap
+            elif skew_ok:
+                hot = is_hot(key64, hot_keys, hot_flag) & t.alive
+                hot_cap = max(1024, -(-dest_cap // 4 // 128) * 128)
+                new_pairs, alive, ovf = shuffle_rows_replicated(
+                    pairs, t.alive, dest, hot, self.P, dest_cap,
+                    hot_cap)
+                cap2 = self.P * (dest_cap + hot_cap)
+            else:
+                new_pairs, alive, ovf = shuffle_rows(
+                    pairs, t.alive, dest, self.P, dest_cap)
+                cap2 = self.P * dest_cap
             self._overflow_flags.append(ovf)
             nc = len(t.cols)
             new_cols = [SCol(arr, valid, c.dtype, c.dictionary)
                         for (arr, valid), c in zip(new_pairs[:nc], t.cols)]
             new_keys = new_pairs[nc:]
-            return (STable(new_cols, t.names, alive, self.P * dest_cap),
+            return (STable(new_cols, t.names, alive, cap2),
                     [(a, v) for a, v in new_keys])
 
-        lt2, lk2 = do_shuffle(lt, l_keys, lkey64)
-        rt2, rk2 = do_shuffle(rt, r_keys, rkey64)
+        lt2, lk2 = do_shuffle(lt, l_keys, lkey64, "probe")
+        rt2, rk2 = do_shuffle(rt, r_keys, rkey64, "build")
         return self._local_join(node, lt2, lk2, rt2, rk2, direct=direct)
 
     def _direct_params(self, node, rt: STable):

@@ -264,3 +264,61 @@ def test_dist_null_group_key_expression(dist_engine, single_engine):
     sql2 = "SELECT j, k FROM njt ORDER BY j NULLS FIRST, k LIMIT 50"
     assert (dist_engine.execute(sql2).to_pydict()
             == single_engine.execute(sql2).to_pydict())
+
+
+# ---------------- skew-aware repartitioning ----------------
+
+def test_zipf_probe_join_no_retry(dist_engine, single_engine, monkeypatch):
+    """zipf(1.5)-keyed probe side joins at the uniform shuffle capacity
+    with NO capacity-doubling retry: hot probe keys take salted
+    destinations and their build rows replicate into every shard's hot
+    region (north star: skew-aware repartitioning)."""
+    monkeypatch.setenv("IGLOO_BROADCAST_ROWS", "1")   # force shuffle join
+    rng = np.random.default_rng(11)
+    n, nd = 100_000, 2000
+    zk = np.minimum(rng.zipf(1.5, n), nd) - 1
+    fact = pa.table({
+        "k": pa.array(zk, type=pa.int64()),
+        "v": pa.array(rng.integers(0, 100, n), type=pa.int64()),
+    })
+    dim = pa.table({
+        "k": pa.array(np.arange(nd), type=pa.int64()),
+        "w": pa.array(rng.integers(0, 7, nd), type=pa.int64()),
+    })
+    for e in (dist_engine, single_engine):
+        e.register_table("zf", fact)
+        e.register_table("zd", dim)
+    sql = ("SELECT w, count(*) AS c, sum(v) AS s FROM zf "
+           "JOIN zd ON zf.k = zd.k GROUP BY w ORDER BY w")
+    _check(dist_engine, single_engine, sql)
+    frag = dist_engine._last_frag
+    assert frag.shuffle_factor == 2, "capacity-doubling retry happened"
+    assert not frag.join_expand, "join retry happened"
+
+
+def test_hot_build_replication_parity(dist_engine, single_engine,
+                                      monkeypatch):
+    """A heavy duplicate cluster on the BUILD side must replicate into
+    the hot regions and still produce exact rows (INNER and LEFT)."""
+    monkeypatch.setenv("IGLOO_BROADCAST_ROWS", "1")
+    rng = np.random.default_rng(13)
+    n, nd = 20_000, 1000
+    bk = np.concatenate([rng.integers(0, nd, 5000),
+                         np.full(3000, 7)])          # hot build key 7
+    build = pa.table({
+        "k": pa.array(bk, type=pa.int64()),
+        "p": pa.array(rng.integers(0, 50, len(bk)), type=pa.int64()),
+    })
+    probe = pa.table({
+        "k": pa.array(rng.integers(0, nd, n), type=pa.int64()),
+        "v": pa.array(rng.integers(0, 9, n), type=pa.int64()),
+    })
+    for e in (dist_engine, single_engine):
+        e.register_table("pr", probe)
+        e.register_table("bl", build)
+    _check(dist_engine, single_engine,
+           "SELECT count(*) AS c, sum(v) AS sv, sum(p) AS sp FROM pr "
+           "JOIN bl ON pr.k = bl.k")
+    _check(dist_engine, single_engine,
+           "SELECT pr.k, count(*) AS c FROM pr LEFT JOIN bl "
+           "ON pr.k = bl.k GROUP BY pr.k ORDER BY c DESC, pr.k LIMIT 20")
