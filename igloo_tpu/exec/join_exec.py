@@ -77,6 +77,15 @@ def execute_join(ex, node: L.Join, left, right):
     _, exact = join_ops.normalize_keys(
         [jnp.zeros((1,), d) for d in exact_dtypes])
 
+    # ---- dense-unique direct path: fact→dim PK joins collapse to ONE
+    # slot-table gather per probe row (exec/dense_join.py) ----
+    if len(node.left_keys) == 1 and len(node.right_keys) == 1:
+        from . import dense_join
+        rt = dense_join.try_dense_direct(ex, node, left, right,
+                                         l_keys, r_keys)
+        if rt is not None:
+            return rt
+
     # ---- direct-address planning: dense integer build keys skip the
     # binary search (searchsorted dominates TPU probe cost) ----
     direct = None

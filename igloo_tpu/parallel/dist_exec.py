@@ -48,6 +48,15 @@ from .partition import PartCol, PartitionedTable
 from .shuffle import dest_from_key, shuffle_rows
 
 
+# overflow tags: each traced capacity/uniqueness flag carries the stage
+# that fired it so the host retry escalates only the guilty path
+OVF_SHUFFLE = 1   # shuffle destination-bucket capacity
+OVF_DUP = 2       # unique-build join saw duplicates / window ambiguity
+OVF_CAP = 4       # join expansion capacity
+OVF_TOPK = 8      # index-emit top-k candidate superset too small
+OVF_DENSE = 16    # dense slot-table join saw duplicate build keys
+
+
 # ---------------------------------------------------------------------------
 # distributability
 # ---------------------------------------------------------------------------
@@ -155,7 +164,8 @@ class DistFragment:
         self._scan_inputs: list = []     # (arrays…) appended during host prep
         self._overflows: list = []       # traced overflow flags
         self._compiled: dict = {}        # (factors) -> prepared runner
-        self._topk_index_disabled = False  # flipped on overflow retries
+        self._topk_index_disabled = False  # flipped on a TOPK overflow
+        self.dense_disabled = False        # flipped on a DENSE dup overflow
 
     # ---------- host phase ----------
 
@@ -171,25 +181,46 @@ class DistFragment:
                         "distributed shuffle/join capacity overflow persisted "
                         "after retries — data too skewed for configured "
                         "capacity factors") from None
-                if attempt >= 2:
+                # each overflow flag is TAGGED with the stage that fired
+                # it, so a retry only disables/escalates the guilty path
+                # (an unrelated join overflow no longer disables the
+                # index-emit top-k, and vice versa)
+                mask = r.mask
+                acted = False
+                if mask & OVF_DENSE and not self.dense_disabled:
+                    # duplicate build keys in the dense slot table →
+                    # general join paths
+                    self.dense_disabled = True
+                    acted = True
+                if mask & OVF_TOPK and not self._topk_index_disabled:
                     # degenerate first-key hi words (e.g. int64 values
                     # all within int32 range) blow the index-mode top-k
                     # superset — stop retrying that path
                     self._topk_index_disabled = True
-                if not self.join_expand:
-                    # first retry: switch the optimistic unique-build join
-                    # to the duplicate-expansion variant
+                    acted = True
+                if mask & OVF_DUP and not self.join_expand:
+                    # switch the optimistic unique-build join to the
+                    # duplicate-expansion variant
                     self.join_expand = True
-                else:
+                    acted = True
+                if mask & OVF_CAP:
                     # join expansions can explode combinatorially under
-                    # duplicate heavy-hitter keys (zipf × zipf) — grow
-                    # fast; shuffle skew grows at most #rows-per-key
+                    # duplicate heavy-hitter keys (zipf × zipf) — grow fast
+                    self.join_factor *= 4
+                    acted = True
+                if mask & OVF_SHUFFLE:
+                    self.shuffle_factor *= 2
+                    acted = True
+                if not acted:
+                    # defensive: guarantee forward progress
+                    self.join_expand = True
                     self.shuffle_factor *= 2
                     self.join_factor *= 4
 
     def _run_once(self, plan: L.LogicalPlan) -> PartitionedTable:
         cache_key = (self.shuffle_factor, self.join_factor,
-                     self.join_expand)
+                     self.join_expand, self._topk_index_disabled,
+                     self.dense_disabled)
         entry = self._compiled.get(cache_key)
         if entry is None:
             self._preps.clear()
@@ -237,8 +268,8 @@ class DistFragment:
             from .mesh import global_get
             ovf_host = jax.device_get(overflow)
             counts_host = global_get(out_counts)
-        if bool(ovf_host):
-            raise _OverflowRetry()
+        if int(ovf_host):
+            raise _OverflowRetry(int(ovf_host))
 
         out_dicts = dict_env[id(plan)]
         names = _unique([f.name for f in plan.schema])
@@ -393,10 +424,11 @@ class DistFragment:
 
             self._aux_offsets = self._compute_aux_offsets()
             out = self._exec(plan, env)
-            overflow = jnp.zeros((), jnp.bool_)
-            for f in self._overflow_flags:
-                overflow = overflow | f
-            overflow = jax.lax.pmax(overflow.astype(jnp.int32), "d") > 0
+            overflow = jnp.zeros((), jnp.int32)
+            for tag, f in self._overflow_flags:
+                overflow = overflow | jnp.where(f, jnp.int32(tag),
+                                                jnp.int32(0))
+            overflow = jax.lax.pmax(overflow, "d")
             # compact alive rows to the front within each shard so the
             # per-shard count prefix is the real data. Sorted/aggregated
             # outputs are already prefix-compacted — skip the pass.
@@ -902,7 +934,7 @@ class DistFragment:
         slot_live = jnp.arange(cap) < jnp.minimum(sup_cnt, cap)
         ok = ((sup_cnt >= jnp.minimum(jnp.int32(m), n_alive))
               & (sup_cnt <= cap) & (ovf == 0))
-        self._overflow_flags.append(~ok)
+        self._overflow_flags.append((OVF_TOPK, ~ok))
 
         def take(s):
             return gathered[s], gathered_v[s]
@@ -1064,7 +1096,7 @@ class DistFragment:
 
         ok = ((cnt >= jnp.minimum(jnp.int32(m), n_alive))
               & (cnt <= cap) & (ovf == 0))
-        self._overflow_flags.append(~ok)
+        self._overflow_flags.append((OVF_TOPK, ~ok))
 
         def take(rec):
             (slot, npl, dt), vi = rec
@@ -1141,7 +1173,7 @@ class DistFragment:
 
         n_alive = jnp.sum(t.alive.astype(jnp.int32))
         ok = (cnt >= jnp.minimum(jnp.int32(m), n_alive)) & (cnt <= cap)
-        self._overflow_flags.append(~ok)
+        self._overflow_flags.append((OVF_TOPK, ~ok))
 
         def take(s):
             return (c_arrs[s][:cap],
@@ -1193,7 +1225,7 @@ class DistFragment:
         dest_cap = self._dest_cap(cap)
         new_pairs, new_alive, ovf = shuffle_rows(pairs, alive, dest, P,
                                                  dest_cap)
-        self._overflow_flags.append(ovf)
+        self._overflow_flags.append((OVF_SHUFFLE, ovf))
         nc = len(t.cols)
         new_cols = [SCol(arr, v, c.dtype, c.dictionary)
                     for (arr, v), c in zip(new_pairs[:nc], t.cols)]
@@ -1320,7 +1352,7 @@ class DistFragment:
             dest_cap = self._dest_cap(t.cap)
             new_pairs, alive, ovf = shuffle_rows(pairs, t.alive, dest,
                                                  self.P, dest_cap)
-            self._overflow_flags.append(ovf)
+            self._overflow_flags.append((OVF_SHUFFLE, ovf))
             s_keys = new_pairs[:len(gvv)]
             s_uniq = new_pairs[len(gvv):]
             s_args = [
@@ -1380,7 +1412,7 @@ class DistFragment:
         dest_cap = self._dest_cap(gbound)
         new_pairs, alive, ovf = shuffle_rows(pairs, p_alive, dest, self.P,
                                              dest_cap)
-        self._overflow_flags.append(ovf)
+        self._overflow_flags.append((OVF_SHUFFLE, ovf))
         it = iter(new_pairs)
         s_keys = [next(it) for _ in p_keys]
         s_partials = [next(it) for _ in p_aggs]
@@ -1679,7 +1711,7 @@ class DistFragment:
         dest_cap = self._dest_cap(t.cap)
         new_pairs, alive, ovf = shuffle_rows(pairs, t.alive, dest, self.P,
                                              dest_cap)
-        self._overflow_flags.append(ovf)
+        self._overflow_flags.append((OVF_SHUFFLE, ovf))
         cap = min(gbound, self.P * dest_cap)
         out_keys, _, ngroups = grouped_aggregate(
             [(a, v) for a, v in new_pairs], [], alive, max_groups=cap)
@@ -1716,7 +1748,7 @@ class DistFragment:
         direct = self._direct_params(node, rt)
         if self.P == 1:
             return self._local_join(node, lt, l_keys, rt, r_keys,
-                                    direct=direct)
+                                    direct=direct, dense_ok=True)
 
         broadcast = (rt.cap * self.P <= self.broadcast_rows
                      and node.kind in (JoinKind.INNER, JoinKind.LEFT))
@@ -1733,14 +1765,15 @@ class DistFragment:
                 return jax.lax.all_gather(x, "d", tiled=True)
             r_cols = [SCol(gat(c.arr),
                            gat(c.valid) if c.valid is not None else None,
-                           c.dtype, c.dictionary) for c in rt.cols]
+                           c.dtype, c.dictionary, c.stats)
+                      for c in rt.cols]
             r_alive = gat(rt.alive)
             rk = [(gat(a), gat(v) if v is not None else None)
                   for a, v in r_keys]
             return self._local_join(node, lt, l_keys,
                                     STable(r_cols, rt.names, r_alive,
                                            rt.cap * self.P), rk,
-                                    direct=direct)
+                                    direct=direct, dense_ok=True)
 
         # shuffle both sides by key hash
         lkey64, _ = join_ops.normalize_keys([a for a, _ in l_keys])
@@ -1808,7 +1841,7 @@ class DistFragment:
                 new_pairs, alive, ovf = shuffle_rows(
                     pairs, t.alive, dest, self.P, dest_cap)
                 cap2 = self.P * dest_cap
-            self._overflow_flags.append(ovf)
+            self._overflow_flags.append((OVF_SHUFFLE, ovf))
             nc = len(t.cols)
             new_cols = [SCol(arr, valid, c.dtype, c.dictionary)
                         for (arr, valid), c in zip(new_pairs[:nc], t.cols)]
@@ -1838,8 +1871,167 @@ class DistFragment:
             return None
         return int(lo), int(span)
 
+    def _dense_params(self, node, rt: STable):
+        """Unique dense build keys → slot-table probe (ONE gather per
+        probe row; exec/dense_join.py is the host-path analog). Bigger
+        span ceiling than _direct_params: the slot table replaces the
+        build sort + histogram entirely."""
+        if len(node.right_keys) != 1:
+            return None
+        rk_expr = node.right_keys[0]
+        if not (isinstance(rk_expr, L.BColumn) and rk_expr.dtype.is_integer
+                and rk_expr.index < len(rt.cols)):
+            return None
+        st = rt.cols[rk_expr.index].stats
+        if st is None:
+            return None
+        lo, hi = st
+        span = hi - lo + 1
+        if not (0 < span <= (1 << 27)):
+            return None
+        return int(lo), int(span), rk_expr.index
+
+    def _plan_dense_cols(self, node, rt: STable, key_idx: int):
+        """Layout of the dense slot tables: ("key",None) | ("pack",(i,vlo))
+        | ("row",i) | ("rownull",i) per right column, or None when the
+        plane budget / dtypes don't fit."""
+        plan = []
+        packable = []
+        row_planes = 0
+        for i, c in enumerate(rt.cols):
+            if i == key_idx:
+                plan.append(("key", None))
+                continue
+            if c.arr.dtype in (jnp.float64, jnp.uint64):
+                return None
+            wide = 2 if c.arr.dtype == jnp.int64 else 1
+            bounds = None
+            if c.dictionary is not None:
+                bounds = (0, max(len(c.dictionary) - 1, 0))
+            elif c.stats is not None and c.arr.dtype == jnp.int32:
+                bounds = (int(c.stats[0]), int(c.stats[1]))
+            if bounds is not None and c.valid is None \
+                    and bounds[1] - bounds[0] < (1 << 30):
+                packable.append(i)
+                plan.append(("pack", (i, bounds[0], bounds[1])))
+            elif c.valid is None:
+                plan.append(("row", i))
+                row_planes += wide
+            else:
+                plan.append(("rownull", i))
+                row_planes += wide + 1
+        if len(packable) == 1 and row_planes == 0:
+            return plan      # one packed plane = value + presence
+        out = []
+        for k, x in plan:
+            if k == "pack":
+                out.append(("row", x[0]))
+                row_planes += 1
+            else:
+                out.append((k, x))
+        return out if row_planes <= 5 else None
+
+    def _dense_local_join(self, node, lt: STable, rt: STable,
+                          lkey, rkey, lj, rj, dp):
+        """Dense-unique slot-table join: build = scatter the dim rows by
+        (key − lo); probe = ONE table gather per probe row; output row i
+        = probe row i (no expansion). Duplicate build keys fire the
+        OVF_DENSE flag → host retries with dense_disabled."""
+        kind = node.kind
+        lo, span, key_idx = dp
+        plan = self._plan_dense_cols(node, rt, key_idx)
+        if plan is None:
+            return None
+        packed = next((x for k, x in plan if k == "pack"), None)
+        row_cols = [x for k, x in plan if k in ("row", "rownull")]
+        row_null = {x for k, x in plan if k == "rownull"}
+
+        # ---- build: dense slot tables ----
+        roff = rkey.astype(jnp.int64) - lo
+        okr = rj & (roff >= 0) & (roff < span)
+        slot = jnp.where(okr, roff, span).astype(jnp.int32)
+        nj_r = jnp.sum(okr.astype(jnp.int32))
+        pres = packed_tab = rows_tab = None
+        if packed is not None:
+            ci, vlo, vhi = packed
+            # values spanning ≤126 pack as int8: a 2^26-slot table then
+            # stays under the ~64MB fast-gather tier (micro_prims.py:
+            # 9.7ns vs 14.4ns per probe above it)
+            tdt = jnp.int8 if vhi - vlo <= 126 else jnp.int32
+            pv = ((rt.cols[ci].arr.astype(jnp.int32) - vlo) + 1).astype(tdt)
+            packed_tab = jnp.zeros((span,), tdt).at[slot].set(
+                pv, mode="drop")
+            placed = jnp.sum((packed_tab > 0).astype(jnp.int32))
+        else:
+            pres = jnp.zeros((span,), jnp.int8).at[slot].set(
+                jnp.int8(1), mode="drop")
+            placed = jnp.sum(pres.astype(jnp.int32))
+        if row_cols:
+            planes = []
+            for ci in row_cols:
+                a = rt.cols[ci].arr
+                if a.dtype == jnp.int64:
+                    w = jax.lax.bitcast_convert_type(a, jnp.int32)
+                    planes += [w[:, 0], w[:, 1]]
+                elif a.dtype in (jnp.float32, jnp.uint32):
+                    planes.append(jax.lax.bitcast_convert_type(a, jnp.int32))
+                else:
+                    planes.append(a.astype(jnp.int32))
+                if ci in row_null:
+                    planes.append(rt.cols[ci].valid.astype(jnp.int32))
+            rows = jnp.stack(planes, axis=-1)
+            rows_tab = jnp.zeros((span, rows.shape[1]), jnp.int32).at[
+                slot].set(rows, mode="drop")
+        self._overflow_flags.append((OVF_DENSE, placed < nj_r))
+
+        # ---- probe: one gather ----
+        loff = lkey.astype(jnp.int64) - lo
+        in_range = (loff >= 0) & (loff < span) & lj
+        lc = jnp.clip(loff, 0, span - 1).astype(jnp.int32)
+        if packed is not None:
+            pv = packed_tab[lc].astype(jnp.int32)
+            matched = in_range & (pv > 0)
+        else:
+            matched = in_range & (pres[lc] > 0)
+        grows = rows_tab[lc] if row_cols else None
+
+        inner = kind is JoinKind.INNER
+        out_cols = list(lt.cols)
+        pi = 0
+        for i, c in enumerate(rt.cols):
+            dt = c.arr.dtype
+            if i == key_idx:
+                arr = lkey.astype(dt)
+                valid = None if inner else matched
+            elif packed is not None and i == packed[0]:
+                arr = (pv - 1 + packed[1]).astype(dt)
+                valid = None if inner else matched
+            else:
+                if dt == jnp.int64:
+                    w = jnp.stack([grows[:, pi], grows[:, pi + 1]],
+                                  axis=-1)
+                    arr = jax.lax.bitcast_convert_type(w, jnp.int64)
+                    pi += 2
+                elif dt in (jnp.float32, jnp.uint32):
+                    arr = jax.lax.bitcast_convert_type(grows[:, pi], dt)
+                    pi += 1
+                else:
+                    arr = grows[:, pi].astype(dt)
+                    pi += 1
+                if i in row_null:
+                    nul = grows[:, pi] > 0
+                    pi += 1
+                    valid = nul if inner else (matched & nul)
+                else:
+                    valid = None if inner else matched
+            out_cols.append(SCol(arr, valid, c.dtype, c.dictionary,
+                                 c.stats))
+        alive = lt.alive & matched if inner else lt.alive
+        names = [f.name for f in node.schema]
+        return STable(out_cols, names, alive, lt.cap)
+
     def _local_join(self, node, lt: STable, l_keys, rt: STable, r_keys,
-                    direct=None):
+                    direct=None, dense_ok=False):
         kind = node.kind
         interpret = jax.default_backend() != "tpu"
         lkey, exact = join_ops.normalize_keys([a for a, _ in l_keys])
@@ -1852,6 +2044,18 @@ class DistFragment:
         for _, v in r_keys:
             if v is not None:
                 rj = rj & v
+
+        # ---- dense-unique slot-table path: fact→dim PK joins pay ONE
+        # probe gather instead of build-sort + histogram + 3 gathers ----
+        if (dense_ok and not self.dense_disabled and not self.join_expand
+                and node.residual is None and exact
+                and kind in (JoinKind.INNER, JoinKind.LEFT)):
+            dp = self._dense_params(node, rt)
+            if dp is not None:
+                out = self._dense_local_join(node, lt, rt, lkey, rkey,
+                                             lj, rj, dp)
+                if out is not None:
+                    return out
 
         # without a dense key range the probe goes through a hash-bucket
         # table (scatter histogram over (dead,bucket,key)-sorted rows +
@@ -1935,13 +2139,13 @@ class DistFragment:
                     matched = matched | ok
                     nmatch = nmatch + ok.astype(jnp.int32)
                 ambiguous = jnp.any(nmatch > 1)
-                self._overflow_flags.append((real_maxdup > 1)
-                                            | (max_bucket > k_win)
-                                            | ambiguous)
+                self._overflow_flags.append(
+                    (OVF_DUP, (real_maxdup > 1) | (max_bucket > k_win)
+                     | ambiguous))
                 bpos = jnp.clip(start + j_star, 0, nb - 1)
                 slot_valid = matched
             else:
-                self._overflow_flags.append(jnp.max(counts) > 1)
+                self._overflow_flags.append((OVF_DUP, jnp.max(counts) > 1))
                 bpos = jnp.clip(start, 0, nb - 1)
                 slot_valid = counts > 0
             if lt.alive is not None:
@@ -1953,7 +2157,7 @@ class DistFragment:
             probe_row, build_pos, slot_valid = join_ops.expand_matches(
                 start, counts, inner_cap)
             total = jnp.sum(counts.astype(jnp.int64))
-            self._overflow_flags.append(total > inner_cap)
+            self._overflow_flags.append((OVF_CAP, total > inner_cap))
             bpos = jnp.clip(build_pos, 0, nb - 1)
 
         segments = []
@@ -2121,7 +2325,12 @@ def _orderable_rank(values, valid, ascending, nulls_first):
 
 
 class _OverflowRetry(Exception):
-    pass
+    """Raised when a traced capacity/uniqueness check fired; `mask` is
+    the OR of OVF_* tags identifying which stage(s) overflowed."""
+
+    def __init__(self, mask: int = 0):
+        super().__init__(mask)
+        self.mask = mask
 
 
 def _unique(names):

@@ -1,0 +1,225 @@
+"""Dense-unique direct join path (exec/dense_join.py) vs a Python oracle.
+
+Dense integer build keys with ingest stats route fact→dim joins to the
+one-gather slot-table path; duplicate build keys must fall back to the
+general paths with identical results.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(params=["host", "dist"])
+def dense(monkeypatch, request):
+    """Force-enable the dense path at test sizes and count its hits.
+
+    host: the Executor path (exec/dense_join.py), reached by disabling
+    fragment compilation. dist: the fused-fragment path
+    (dist_exec._dense_local_join) on the 8-device mesh (broadcast join).
+    """
+    hits = {"n": 0, "route": request.param}
+    if request.param == "host":
+        from igloo_tpu.exec import dense_join
+        from igloo_tpu.parallel import dist_exec
+        monkeypatch.setattr(dense_join, "DENSE_MIN_ROWS", 1)
+        monkeypatch.setattr(dist_exec, "subtree_distributable",
+                            lambda *a, **k: False)
+        orig = dense_join.try_dense_direct
+
+        def spy(*a, **k):
+            out = orig(*a, **k)
+            if out is not None:
+                hits["n"] += 1
+            return out
+        monkeypatch.setattr(dense_join, "try_dense_direct", spy)
+    else:
+        from igloo_tpu.parallel.dist_exec import DistFragment
+        orig = DistFragment._dense_local_join
+
+        def spy(self, *a, **k):
+            out = orig(self, *a, **k)
+            if out is not None:
+                hits["n"] += 1
+            return out
+        monkeypatch.setattr(DistFragment, "_dense_local_join", spy)
+    return hits
+
+
+def _tables(seed, n_probe=900, n_build=500, dup_build=False,
+            null_build_keys=True, null_bv=False, extra_col=False):
+    rng = np.random.default_rng(seed)
+    uni = rng.permutation(1500)[:n_build].astype(np.int64)
+    bkeys = uni.copy()
+    if dup_build:
+        bkeys = np.concatenate([bkeys, uni[rng.integers(0, n_build, 50)]])
+    pkeys = rng.choice(uni, n_probe)
+    pkeys[: n_probe // 4] = rng.integers(1500, 3000, n_probe // 4)  # miss
+    pkeys[n_probe // 4: n_probe // 3] = -rng.integers(
+        1, 500, n_probe // 3 - n_probe // 4)                # out of range
+    rng.shuffle(pkeys)
+
+    pk = pkeys.astype(object)
+    bk = bkeys.astype(object)
+    pk[rng.integers(0, n_probe, n_probe // 10)] = None
+    if null_build_keys:
+        bk[rng.integers(0, len(bk), len(bk) // 10)] = None
+
+    bv = rng.integers(0, 1000, len(bk)).astype(object)
+    if null_bv:
+        bv[rng.integers(0, len(bk), len(bk) // 8)] = None
+    build_cols = {
+        "k": pa.array(list(bk), type=pa.int64()),
+        "bv": pa.array(list(bv), type=pa.int32()),
+    }
+    if extra_col:
+        build_cols["bw"] = pa.array(
+            rng.integers(0, 7, len(bk)), type=pa.int64())
+    probe = pa.table({
+        "k": pa.array(list(pk), type=pa.int64()),
+        "pv": pa.array(rng.integers(0, 1000, n_probe), type=pa.int32()),
+    })
+    return probe, pa.table(build_cols)
+
+
+def _col(t, name):
+    return t.column(name).to_pylist()
+
+
+def _oracle(probe, build, kind, cols=("k", "pv", "bv")):
+    bmap = {}
+    brows = list(zip(*[_col(build, c) for c in build.column_names]))
+    for row in brows:
+        if row[0] is not None:
+            bmap.setdefault(row[0], []).append(row)
+    out = []
+    for k, pv in zip(_col(probe, "k"), _col(probe, "pv")):
+        hits = bmap.get(k, []) if k is not None else []
+        if hits:
+            for b in hits:
+                out.append(tuple({"k": k, "pv": pv, "bv": b[1],
+                                  "bk": b[0],
+                                  "bw": b[2] if len(b) > 2 else None}[c]
+                                 for c in cols))
+        elif kind == "left":
+            out.append(tuple({"k": k, "pv": pv, "bv": None, "bk": None,
+                              "bw": None}[c] for c in cols))
+    return sorted(out, key=_key)
+
+
+def _key(r):
+    return tuple((v is None, v if v is not None else 0) for v in r)
+
+
+def _rows(out):
+    cols = [out.column(i).to_pylist() for i in range(out.num_columns)]
+    return sorted(zip(*cols), key=_key)
+
+
+def _run(engine, probe, build, sql):
+    engine.register_table("p", probe)
+    engine.register_table("b", build)
+    return engine.execute(sql)
+
+
+def test_dense_inner_packed(engine, dense):
+    probe, build = _tables(1)
+    out = _run(engine, probe, build,
+               "SELECT p.k, p.pv, b.bv FROM p JOIN b ON p.k = b.k")
+    assert _rows(out) == _oracle(probe, build, "inner")
+    assert dense["n"] == 1
+
+
+def test_dense_inner_rowtable(engine, dense):
+    # two value columns (int32 + int64) → stacked row-table path
+    probe, build = _tables(2, extra_col=True)
+    out = _run(engine, probe, build,
+               "SELECT p.pv, b.bv, b.bw FROM p JOIN b ON p.k = b.k")
+    assert _rows(out) == _oracle(probe, build, "inner",
+                                 cols=("pv", "bv", "bw"))
+    assert dense["n"] == 1
+
+
+def test_dense_inner_null_values(engine, dense):
+    probe, build = _tables(3, null_bv=True)
+    out = _run(engine, probe, build,
+               "SELECT p.pv, b.bv FROM p JOIN b ON p.k = b.k")
+    assert _rows(out) == _oracle(probe, build, "inner", cols=("pv", "bv"))
+    assert dense["n"] == 1
+
+
+def test_dense_key_reconstruction(engine, dense):
+    probe, build = _tables(4)
+    out = _run(engine, probe, build,
+               "SELECT b.k, p.pv FROM p JOIN b ON p.k = b.k")
+    assert _rows(out) == _oracle(probe, build, "inner", cols=("bk", "pv"))
+    assert dense["n"] == 1
+
+
+def test_dense_left(engine, dense):
+    probe, build = _tables(5)
+    out = _run(engine, probe, build,
+               "SELECT p.k, p.pv, b.bv FROM p LEFT JOIN b ON p.k = b.k")
+    assert _rows(out) == _oracle(probe, build, "left")
+    assert dense["n"] == 1
+
+
+def test_dense_dup_fallback(engine, dense):
+    probe, build = _tables(6, dup_build=True)
+    out = _run(engine, probe, build,
+               "SELECT p.k, p.pv, b.bv FROM p JOIN b ON p.k = b.k")
+    assert _rows(out) == _oracle(probe, build, "inner")
+    # host: dup keys detected up front → general path, no dense result.
+    # dist: dense runs optimistically, trips OVF_DENSE, host retries on
+    # the general path — results identical either way.
+    if dense["route"] == "host":
+        assert dense["n"] == 0
+
+    out = _run(engine, probe, build,
+               "SELECT p.k, p.pv, b.bv FROM p LEFT JOIN b ON p.k = b.k")
+    assert _rows(out) == _oracle(probe, build, "left")
+    if dense["route"] == "host":
+        assert dense["n"] == 0
+
+
+def test_dense_semi_anti(engine, dense):
+    probe, build = _tables(7, null_build_keys=False)
+    bset = {k for k in _col(build, "k") if k is not None}
+
+    out = _run(engine, probe, build,
+               "SELECT pv FROM p WHERE k IN (SELECT k FROM b)")
+    exp = sorted(pv for k, pv in zip(_col(probe, "k"), _col(probe, "pv"))
+                 if k is not None and k in bset)
+    assert sorted(out.column(0).to_pylist()) == exp
+
+    out = _run(engine, probe, build,
+               "SELECT pv FROM p WHERE k NOT IN (SELECT k FROM b)")
+    exp = sorted(pv for k, pv in zip(_col(probe, "k"), _col(probe, "pv"))
+                 if k is not None and k not in bset)
+    assert sorted(out.column(0).to_pylist()) == exp
+    if dense["route"] == "host":
+        assert dense["n"] == 2
+
+
+def test_dense_anti_null_build(engine, dense):
+    probe, build = _tables(8, null_build_keys=True)
+    out = _run(engine, probe, build,
+               "SELECT pv FROM p WHERE k NOT IN (SELECT k FROM b)")
+    # any NULL build key → NOT IN never true
+    assert out.num_rows == 0
+    if dense["route"] == "host":
+        assert dense["n"] == 1
+
+
+def test_dense_join_then_agg(engine, dense):
+    probe, build = _tables(9, extra_col=True)
+    out = _run(engine, probe, build,
+               "SELECT b.bw, sum(p.pv) AS s FROM p JOIN b ON p.k = b.k "
+               "GROUP BY b.bw ORDER BY b.bw")
+    exp = {}
+    for pv, bv, bw in _oracle(probe, build, "inner",
+                              cols=("pv", "bv", "bw")):
+        exp[bw] = exp.get(bw, 0) + pv
+    got = list(zip(out.column(0).to_pylist(), out.column(1).to_pylist()))
+    assert got == sorted(exp.items())
+    assert dense["n"] == 1
