@@ -33,13 +33,11 @@ roofline denominator, bytes per input row; "+w" = write traffic):
                          Fact read l_okey(8)+l_qty(4); dim side
                          (8+4+4str)x15M amortized over 60M = +4; probe
                          tables in HBM                     = 16 B/row
-  #4 sort / top-k        0.75B int64 keys (BASELINE says 1B; the x64
-                         int64 emulation needs 2x the column in HBM —
-                         see the config #4 comment). The
-                         index-emit prune reads the key once for the
-                         hi plane + the plane itself + alive
-                         (8+4+1), candidate gather negligible
-                                                           = 13 B/row
+  #4 sort / top-k        1B int64 keys, stored paired-int32 (lo+hi
+                         planes; table.py Column.pair_hi). The
+                         index-emit prune reads the hi plane (4 B/row);
+                         sample slices, candidate-plane writes and
+                         candidate gathers are O(cap)   ≈ 4.5 B/row
   #5 zipf skew proxy     zipf(1.2)-keyed GROUP BY + dim join on one
                          chip (the single-chip proxy of the N-host
                          skewed-shuffle config): read k(4)+v(4)+dim
@@ -123,7 +121,10 @@ def _dev_table(eng, name: str, nrows: int, build_fn, schema):
     """Register a device-generated table.
 
     build_fn(base, cnt) -> dict col -> jnp array of rows
-    [base, base+cnt). schema: dict col -> (SqlType, dictionary|None,
+    [base, base+cnt), or a (lo_i32, hi_i32) TUPLE for an INT64 column
+    stored paired (table.py Column.pair_hi — a 2^30-row int64 column
+    then lives in 8 GB instead of peaking 16 GB through the x64
+    emulation). schema: dict col -> (SqlType, dictionary|None,
     stats|None) — stats mirror what parquet/arrow ingest computes (the
     span gates for the MXU group-by and direct-address joins read
     them). Generation is CHUNKED with buffer donation so an 8 GB column
@@ -140,23 +141,40 @@ def _dev_table(eng, name: str, nrows: int, build_fn, schema):
     chunk = min(cap, 1 << 27)
     shapes = jax.eval_shape(functools.partial(build_fn, 0, 8192))
 
+    def flat(vals):
+        out = {}
+        for k, v in vals.items():
+            if isinstance(v, tuple):
+                out[k + "\x00lo"], out[k + "\x00hi"] = v
+            else:
+                out[k] = v
+        return out
+
     @functools.partial(jax.jit, donate_argnums=0, static_argnums=(2,))
     def fill(bufs, base, cnt):
-        vals = build_fn(base, cnt)
+        vals = flat(build_fn(base, cnt))
         return {k: jax.lax.dynamic_update_slice(bufs[k], vals[k], (base,))
                 for k in bufs}
 
-    bufs = {k: jnp.zeros((cap,), dtype=s.dtype) for k, s in shapes.items()}
+    bufs = {k: jnp.zeros((cap,), dtype=s.dtype)
+            for k, s in flat(shapes).items()}
     base = 0
     while base < cap:
         cnt = min(chunk, cap - base)
         bufs = fill(bufs, jnp.int32(base), cnt)
         base += cnt
     cols = {}
-    for cname, arr in bufs.items():
+    for cname in schema:
         st, dct, stats = schema[cname]
-        cols[cname] = Column(data=arr, dtype=st, validity=None,
-                             dictionary=dct, stats=stats)
+        if cname + "\x00lo" in bufs:
+            cols[cname] = Column(data=bufs[cname + "\x00lo"], dtype=st,
+                                 validity=None, dictionary=dct,
+                                 stats=stats,
+                                 pair_hi=bufs[cname + "\x00hi"])
+        else:
+            cols[cname] = Column(data=bufs[cname], dtype=st,
+                                 validity=None, dictionary=dct,
+                                 stats=stats)
     eng.register_table(name, DeviceTable(cols, nrows))
 
 
@@ -320,23 +338,27 @@ def main() -> None:
     eng.sql("DROP TABLE zdim")
     cleanup()
 
-    # ---- config #4: top-k over int64 keys near BASELINE's 1B scale ----
-    # 0.75B, not 1B: XLA's x64 emulation cannot build or update an int64
-    # column without BOTH 4 GB split halves plus the 8 GB buffer live at
-    # once — a 2^30-row int64 column peaks at 16.00 GB against the v5e's
-    # 15.75 GB (measured: "Exceeded hbm capacity by 258M"). 3/4 x 2^30
-    # is the largest clean scale; the real fix is paired-int32 physical
-    # storage for 64-bit columns (planned).
-    n4 = (3 << 28) // scale
+    # ---- config #4: top-k over 1B int64 keys (BASELINE scale) ----
+    # The column is stored paired-int32 (table.py Column.pair_hi): the
+    # 2^30-row int64 column lives in 8 GB, and the index-emit top-k
+    # prune reads the hi plane directly — the 64-bit lanes never
+    # materialize. Traffic model: hi-plane read (4 B/row) + strided
+    # sample + candidate-plane writes and per-plane candidate gathers
+    # (all O(cap), negligible) ≈ 4.5 B/row.
+    n4 = (1 << 30) // scale
     _log("generating 1B-row sort table (device)")
 
     def gen_keys(base, cnt):
-        return {"k": (_mix64(iota64(base, cnt)) >> jnp.uint64(2))
-                .astype(jnp.int64)}
+        k = _mix64(iota64(base, cnt)) >> jnp.uint64(2)
+        lo = jax.lax.bitcast_convert_type(
+            (k & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32)
+        hi = jax.lax.bitcast_convert_type(
+            (k >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32)
+        return {"k": (lo, hi)}
 
     _dev_table(eng, "keys64", n4, gen_keys,
                {"k": (SqlType.INT64, None, None)})
-    run("sort_topk", "SELECT k FROM keys64 ORDER BY k LIMIT 1000", n4, 13)
+    run("sort_topk", "SELECT k FROM keys64 ORDER BY k LIMIT 1000", n4, 4.5)
     eng.sql("DROP TABLE keys64")
 
     geo = math.exp(sum(math.log(r["rows_per_s"]) for r in results.values())

@@ -123,7 +123,9 @@ class Executor:
             c = t.columns.get(f.name)
             if c is None:
                 raise ExecutionError(f"column {f.name!r} missing in table {node.table!r}")
-            cols.append(RCol(c.data, c.validity, c.dtype, c.dictionary,
+            data = (c.data64() if getattr(c, 'pair_hi', None) is not None
+                    else c.data)
+            cols.append(RCol(data, c.validity, c.dtype, c.dictionary,
                              getattr(c, 'stats', None)))
             names.append(f.name)
         mask = None

@@ -38,7 +38,7 @@ from ..dtypes import SqlType
 from ..errors import ExecutionError, NotSupportedError
 from ..sql.ast import JoinKind
 from ..plan import logical as L
-from ..table import pad_count
+from ..table import combine_pair64, pad_count
 from ..ops import join_ops
 from ..ops.gather_ops import gather_columns
 from ..ops.aggregate import AggInput, grouped_aggregate
@@ -124,6 +124,10 @@ class SCol:
     dtype: SqlType
     dictionary: Optional[np.ndarray]
     stats: Optional[tuple] = None
+    # paired-int32 (lo, hi) planes of an INT64 column (table.py
+    # Column.pair_hi): plane-consumers read these so the 64-bit lanes
+    # in `arr` stay dead code
+    planes: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -243,6 +247,9 @@ class DistFragment:
                     in_arrays.append(c.valid)
                     in_specs.append(col_spec if c.valid is not None
                                     else None)
+                    hi = getattr(c, "pair_hi", None)
+                    in_arrays.append(hi)
+                    in_specs.append(col_spec if hi is not None else None)
                 in_arrays.append(pt.counts)
                 in_specs.append(P("d"))
 
@@ -410,10 +417,21 @@ class DistFragment:
                     valid = next(it)
                     if valid is not None and not flat1:
                         valid = valid[0]
+                    hi = next(it)               # paired-int64 hi plane
+                    if hi is not None and not flat1:
+                        hi = hi[0]
                     pt = self.ptables[node.table.lower()]
+                    planes = None
+                    if hi is not None:
+                        # lazy combine: plane-consumers (index top-k)
+                        # read `planes`; the 64-bit materialization is
+                        # dead code XLA removes unless something uses it
+                        planes = (data, hi)
+                        data = combine_pair64(data, hi)
                     cols.append(SCol(data, valid, f.dtype,
                                      pt.cols[f.name].dictionary,
-                                     getattr(pt.cols[f.name], "stats", None)))
+                                     getattr(pt.cols[f.name], "stats", None),
+                                     planes=planes))
                     names.append(f.name)
                 count = next(it)[0]
                 cap = cols[0].arr.shape[0] if cols else 0
@@ -527,10 +545,14 @@ class DistFragment:
             for e, f in zip(node.exprs, node.schema):
                 vv = self._eval(e, t, id(node))
                 d = prep.out_dict(e) if f.dtype.is_string else None
-                stats = (t.cols[e.index].stats
-                         if isinstance(e, L.BColumn) else None)
+                stats = planes = None
+                if isinstance(e, L.BColumn):
+                    stats = t.cols[e.index].stats
+                    # paired-int32 planes ride through bare-column
+                    # projections (plane consumers: index top-k)
+                    planes = getattr(t.cols[e.index], "planes", None)
                 cols.append(SCol(vv.arr.astype(f.dtype.to_jax()), vv.valid,
-                                 f.dtype, d, stats))
+                                 f.dtype, d, stats, planes=planes))
             return STable(cols, [f.name for f in node.schema], t.alive,
                           t.cap, prefix=t.prefix,
                           alive_count=t.alive_count)
@@ -617,7 +639,14 @@ class DistFragment:
                      for v, k in zip(key_vvs, node.keys)]
 
         if topk_m is not None:
-            pruned = self._topk_prune(t, key_specs, topk_m)
+            # paired-int32 planes of the leading key (bare column sorts):
+            # the index-emit prune then reads the hi plane directly and
+            # the 64-bit lanes never materialize
+            planes0 = None
+            k0 = node.keys[0].expr
+            if isinstance(k0, L.BColumn) and k0.index < len(t.cols):
+                planes0 = getattr(t.cols[k0.index], "planes", None)
+            pruned = self._topk_prune(t, key_specs, topk_m, planes0)
             if pruned is not None:
                 t, key_specs = pruned
 
@@ -637,7 +666,8 @@ class DistFragment:
                 for a, v, c in zip(sp[:nc], sp[nc:2 * nc], t.cols)]
         return STable(cols, t.names, sp[2 * nc], t.cap, prefix=True)
 
-    def _topk_prune(self, t: STable, key_specs, m: int):
+    def _topk_prune(self, t: STable, key_specs, m: int,
+                    planes0=None):
         """ORDER BY … LIMIT m: shrink the sort input to a candidate set
         that provably contains the top-m rows, so the O(n log² n) sort
         network runs over thousands of rows instead of millions.
@@ -661,7 +691,8 @@ class DistFragment:
         import os
 
         if not os.environ.get("IGLOO_DISABLE_FUSED_TOPK"):
-            out = self._topk_prune_fused_index(t, key_specs, m)
+            out = self._topk_prune_fused_index(t, key_specs, m,
+                                               planes0)
             if out is not NotImplemented:
                 return out              # pruned table, or None (degenerate)
             out = self._topk_prune_fused(t, key_specs, m)
@@ -772,7 +803,8 @@ class DistFragment:
             base += ch
         return buf
 
-    def _topk_prune_fused_index(self, t: STable, key_specs, m: int):
+    def _topk_prune_fused_index(self, t: STable, key_specs,
+                                m: int, planes0=None):
         """Index-emit top-k candidate pass (ops/pallas/extract.py
         extract_candidate_indices): ONE sweep over the FIRST sort key's
         hi-word rank plane selects the candidate set {rows: hi_rank <=
@@ -828,7 +860,10 @@ class DistFragment:
 
         # ---- first-key hi-word plane (the kernel's only data input) ----
         if klass0 == "i64":
-            hi = self._u32_plane_chunked(a0, hi=True)
+            # paired-int32 storage: the hi plane already exists — the
+            # combined 64-bit lanes stay dead code end to end
+            hi = (planes0[1] if planes0 is not None
+                  else self._u32_plane_chunked(a0, hi=True))
             kspec = ("i64", v0 is not None, asc0, nf0, (0, 0), 0)
             kl = "i64"
         else:                           # fbits / fbits64: exact hi rank
@@ -894,8 +929,16 @@ class DistFragment:
         # ONE full-width split plane is ever live ----
         seq_dep = idx_c
 
-        def lean_gather(a):
+        def lean_gather(a, planes=None):
             nonlocal seq_dep
+            if planes is not None:
+                # gather the int32 planes; combine only the candidates
+                lg = planes[0][idx_c]
+                hg = planes[1][idx_c]
+                out = combine_pair64(lg, hg).astype(a.dtype)
+                seq_dep = jax.lax.optimization_barrier((out,))[0] \
+                    .ravel()[:1]
+                return out
             a2, _ = jax.lax.optimization_barrier((a, seq_dep))
             if a2.dtype in (jnp.int64, jnp.uint64):
                 hi_f = self._u32_plane_chunked(a2, hi=True)
@@ -919,16 +962,17 @@ class DistFragment:
         gathered: list = []
         gathered_v: list = []
 
-        def add(a, v):
+        def add(a, v, planes=None):
             if a is None:
                 return None
             if id(a) not in slot:
                 slot[id(a)] = len(gathered)
-                gathered.append(lean_gather(a))
+                gathered.append(lean_gather(a, planes))
                 gathered_v.append(None if v is None else lean_gather(v))
             return slot[id(a)]
 
-        col_slots = [add(c.arr, c.valid) for c in t.cols]
+        col_slots = [add(c.arr, c.valid, getattr(c, "planes", None))
+                     for c in t.cols]
         key_slots = [add(a, v) for a, v, _, _ in key_specs]
 
         slot_live = jnp.arange(cap) < jnp.minimum(sup_cnt, cap)

@@ -46,6 +46,7 @@ class PartCol:
     dtype: SqlType
     dictionary: Optional[np.ndarray] = None
     stats: Optional[tuple] = None       # (min, max) for integer columns
+    pair_hi: Optional[jax.Array] = None  # paired-int32 INT64 hi plane
 
 
 class PartitionedTable:
@@ -82,15 +83,26 @@ class PartitionedTable:
                 name: PartCol(
                     data=c.data, dtype=c.dtype,
                     valid=c.validity,
-                    dictionary=c.dictionary, stats=getattr(c, "stats", None))
+                    dictionary=c.dictionary, stats=getattr(c, "stats", None),
+                    pair_hi=getattr(c, "pair_hi", None))
                 for name, c in dt.columns.items()
             }
             import jax.numpy as _jnp
             counts1 = _jnp.asarray([n], dtype=_jnp.int32)
             return cls(cols1, counts1, mesh, n)
 
-        # host-side row assignment
-        host_cols = {name: np.asarray(jax.device_get(c.data))[:n]
+        # host-side row assignment (paired int64 columns materialize
+        # here — multi-shard tables hold 1/P of the rows each)
+        def _host_data(c):
+            d = np.asarray(jax.device_get(c.data))[:n]
+            hi = getattr(c, "pair_hi", None)
+            if hi is not None:
+                h = np.asarray(jax.device_get(hi))[:n]
+                return ((h.astype(np.int64) << 32)
+                        | (d.view(np.uint32).astype(np.int64)))
+            return d
+
+        host_cols = {name: _host_data(c)
                      for name, c in dt.columns.items()}
         host_valid = {name: (np.asarray(jax.device_get(c.validity))[:n]
                              if c.validity is not None else None)

@@ -41,6 +41,13 @@ def pad_count(n: int, pad: int = PAD) -> int:
     return max(pad, -(-n // pad) * pad)
 
 
+def combine_pair64(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """(lo, hi) int32 planes → int64 values."""
+    lo_u = jax.lax.bitcast_convert_type(lo, jnp.uint32).astype(jnp.uint64)
+    hi_u = jax.lax.bitcast_convert_type(hi, jnp.uint32).astype(jnp.uint64)
+    return ((hi_u << jnp.uint64(32)) | lo_u).astype(jnp.int64)
+
+
 @dataclasses.dataclass
 class Column:
     data: jax.Array
@@ -48,10 +55,23 @@ class Column:
     validity: jax.Array | None = None          # bool; True = valid; None = all valid
     dictionary: np.ndarray | None = None       # sorted str dictionary for STRING
     stats: tuple | None = None                 # (min, max) for integer columns
+    # paired-int32 physical storage for INT64 columns: when set, `data`
+    # is the LOW int32 plane and `pair_hi` the HIGH plane. XLA's x64
+    # emulation otherwise peaks at 2× the column (both 4 GB split halves
+    # + the 8 GB buffer) — paired storage lets a 2^30-row int64 column
+    # live in 8 GB and lets plane-consumers (index-emit top-k) read the
+    # hi word without ever materializing the 64-bit lanes.
+    pair_hi: jax.Array | None = None
 
     @property
     def capacity(self) -> int:
         return self.data.shape[0]
+
+    def data64(self) -> jax.Array:
+        """Materialized logical array (combines paired planes)."""
+        if self.pair_hi is None:
+            return self.data
+        return combine_pair64(self.data, self.pair_hi)
 
     def valid_mask(self, capacity: int | None = None) -> jax.Array:
         if self.validity is not None:
@@ -188,7 +208,8 @@ class DeviceTable:
         names = []
         n = self.nrows
         for name, col in self.columns.items():
-            host = np.asarray(jax.device_get(col.data))[:n]
+            data = (col.data64() if col.pair_hi is not None else col.data)
+            host = np.asarray(jax.device_get(data))[:n]
             valid = None
             if col.validity is not None:
                 valid = np.asarray(jax.device_get(col.validity))[:n]
