@@ -188,6 +188,24 @@ def main() -> None:
     scale = int(os.environ.get("IGLOO_BENCH_SCALE", "1"))
     if os.environ.get("IGLOO_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # TPU lowering smoke GATE: every Pallas kernel + one query per
+        # operator family must compile and run on the real TPU before
+        # any number is reported (r02's headline was lost to a Mosaic
+        # lowering crash the CPU suite cannot catch). Runs in a
+        # subprocess so a hard crash cannot corrupt this process; the
+        # persistent compile cache makes reruns take seconds.
+        import subprocess
+        _log("running TPU lowering smoke gate (scripts/smoke_tpu.py)")
+        smoke = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts", "smoke_tpu.py")],
+            timeout=1800)
+        if smoke.returncode != 0:
+            _log("SMOKE GATE FAILED — refusing to report benchmark "
+                 "numbers (fix the lowering failure first)")
+            sys.exit(1)
+        _log("smoke gate passed")
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 

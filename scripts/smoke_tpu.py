@@ -192,6 +192,15 @@ def main() -> int:
         eng.register_table("s_keys", pa.table({
             "k": pa.array(rng.integers(0, 1 << 62, n), type=pa.int64()),
         }))
+        # paired-int32 int64 storage (bench config #4's physical layout)
+        from igloo_tpu.table import Column, DeviceTable, pad_count
+        from igloo_tpu.dtypes import SqlType
+        v = rng.integers(0, 1 << 62, pad_count(n)).astype(np.int64)
+        lo = (v & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        hi = ((v >> 32) & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        eng.register_table("s_pkeys", DeviceTable(
+            {"k": Column(data=jnp.asarray(lo), dtype=SqlType.INT64,
+                         pair_hi=jnp.asarray(hi))}, n))
         return eng
 
     try:
@@ -212,6 +221,11 @@ def main() -> int:
              "ON s_line.okey = s_orders.okey WHERE prio < 3"),
             ("q4 order-by limit (fused top-k)",
              "SELECT k FROM s_keys ORDER BY k LIMIT 1000"),
+            ("q5 order-by limit (paired-int64 planes)",
+             "SELECT k FROM s_pkeys ORDER BY k LIMIT 1000"),
+            ("q6 dense-unique slot join",
+             "SELECT sum(qty) AS s FROM s_line JOIN s_orders "
+             "ON s_line.okey = s_orders.okey"),
         ):
             check(label, lambda sql=sql: eng.sql(sql))
 
