@@ -130,7 +130,10 @@ def detect_hot_keys(key64, alive, est_thresh: int, n_hot: int = 32,
         (sk[1:] == sk[:-1]) & alive_pref[1:]])
     anchor = jax.lax.cummax(jnp.where(prev_eq, jnp.int32(0), iota))
     runlen = iota - anchor + 1
-    is_end = jnp.concatenate([sk[1:] != sk[:-1],
+    # a run must also end at the alive/dead sample boundary: the first
+    # dead slot's garbage key can equal the run's key, which would
+    # otherwise suppress is_end and silently drop the hot key
+    is_end = jnp.concatenate([(sk[1:] != sk[:-1]) | ~alive_pref[1:],
                               jnp.ones((1,), jnp.bool_)])
     score = jnp.where(alive_pref & is_end, runlen, 0)
     vals, idxs = jax.lax.top_k(score, n_hot)
@@ -192,7 +195,13 @@ def shuffle_rows_replicated(pairs, alive, dest, hot_sel, num_parts: int,
     def exchange(arr):
         buf = jnp.zeros((out_n,), arr.dtype).at[slot].set(arr[order],
                                                           mode="drop")
+        # hot_cap can exceed n after deep overflow retries (factor
+        # doubling): pad the hot region instead of shape-erroring —
+        # pad slots are dead (ha masks rank >= hn)
         hot_vals = arr[horder[:hot_cap]]
+        if hot_cap > n:
+            hot_vals = jnp.concatenate(
+                [hot_vals, jnp.zeros((hot_cap - n,), arr.dtype)])
         buf = buf.reshape(P, tile).at[:, dest_cap:].set(
             hot_vals[None, :]).reshape(out_n)
         return jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0,
