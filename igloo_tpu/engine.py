@@ -63,6 +63,7 @@ class QueryEngine:
         self._ptables: dict = {}
         self._frag_cache: dict = {}
         self._tmp_counter = 0
+        self._frag_lock = threading.Lock()
 
     # ================= registration =================
 
@@ -299,35 +300,75 @@ class QueryEngine:
 
     def _substitute_fragments(self, copy_node, orig_node):
         """Walk copy+original in lockstep; run distributable ORIGINAL
-        subtrees as fused fragments and splice temp scans into the copy."""
+        subtrees as fused fragments and splice temp scans into the copy.
+
+        Sibling fragments (a node's independent children — join inputs,
+        UNION branches) dispatch CONCURRENTLY on a thread pool: JAX's
+        async dispatch queues both device programs, so the second
+        fragment's host prep and dispatch hide behind the first's device
+        time (≙ the reference's ready-fragment wave scheduler,
+        /root/reference/crates/coordinator/src/distributed_executor.rs:49-182,
+        without its per-wave barrier)."""
         from .parallel.dist_exec import subtree_distributable
         from .plan import logical as L
 
+        single = self._mesh_size() == 1
+
+        def fragmentable(o_child):
+            return (subtree_distributable(o_child, single)
+                    and self._worth_fragmenting(o_child))
+
+        # pass 1: collect this node's fragmentable children
+        tasks = []      # (kind, slot, c_child, o_child)
         for attr in ("input", "left", "right"):
             c_child = getattr(copy_node, attr, None)
             o_child = getattr(orig_node, attr, None)
             if isinstance(c_child, L.LogicalPlan):
-                if subtree_distributable(o_child, self._mesh_size() == 1) \
-                        and self._worth_fragmenting(o_child):
-                    result = self._run_fragment(o_child)
-                    if result is not None and not \
-                            self._needs_host_fallback(o_child, result):
-                        setattr(copy_node, attr,
-                                self._as_scan(o_child, result))
-                        continue
-                self._substitute_fragments(c_child, o_child)
+                tasks.append((("attr", attr), c_child, o_child,
+                              fragmentable(o_child)))
         if isinstance(copy_node, L.Union):
-            new_inputs = []
-            for c_child, o_child in zip(copy_node.inputs, orig_node.inputs):
-                if subtree_distributable(o_child, self._mesh_size() == 1) \
-                        and self._worth_fragmenting(o_child):
-                    result = self._run_fragment(o_child)
-                    if result is not None:
-                        new_inputs.append(self._as_scan(o_child, result))
-                        continue
+            for i, (c_child, o_child) in enumerate(
+                    zip(copy_node.inputs, orig_node.inputs)):
+                tasks.append((("union", i), c_child, o_child,
+                              fragmentable(o_child)))
+
+        # pass 2: run fragmentable siblings concurrently
+        frag_tasks = [t for t in tasks if t[3]]
+        results: dict[int, object] = {}
+        if len(frag_tasks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(len(frag_tasks)) as pool:
+                futs = {id(t): pool.submit(self._run_fragment, t[2])
+                        for t in frag_tasks}
+            for t in frag_tasks:
+                results[id(t)] = futs[id(t)].result()
+        elif frag_tasks:
+            t = frag_tasks[0]
+            results[id(t)] = self._run_fragment(t[2])
+
+        # pass 3: substitute / recurse (host-side, serial)
+        new_union = list(copy_node.inputs) if isinstance(copy_node,
+                                                        L.Union) else None
+        for t in tasks:
+            (kind, slot), c_child, o_child, is_frag = t
+            replacement = None
+            if is_frag:
+                result = results[id(t)]
+                ok = result is not None and (
+                    kind == "union"
+                    or not self._needs_host_fallback(o_child, result))
+                if ok:
+                    replacement = self._as_scan(o_child, result)
+            if replacement is None:
                 self._substitute_fragments(c_child, o_child)
-                new_inputs.append(c_child)
-            copy_node.inputs = tuple(new_inputs)
+            if kind == "attr":
+                if replacement is not None:
+                    setattr(copy_node, slot, replacement)
+            else:
+                new_union[slot] = (replacement if replacement is not None
+                                   else c_child)
+        if new_union is not None:
+            copy_node.inputs = tuple(new_union)
 
     def _needs_host_fallback(self, plan, result: DeviceTable) -> bool:
         from .plan import logical as L
@@ -341,24 +382,27 @@ class QueryEngine:
         from .parallel.dist_exec import DistFragment
         from .plan import logical as L
 
-        ptables = {}
+        # host-side caches are shared across the concurrent sibling
+        # threads — prep under the lock; frag.run (device work) outside
+        with self._frag_lock:
+            ptables = {}
 
-        def scans(node):
-            if isinstance(node, L.Scan):
-                ptables[node.table.lower()] = self._ptable(node.table)
-            for c in node.children():
-                scans(c)
+            def scans(node):
+                if isinstance(node, L.Scan):
+                    ptables[node.table.lower()] = self._ptable(node.table)
+                for c in node.children():
+                    scans(c)
 
-        scans(plan)
-        frag = self._frag_cache.get(id(plan))
-        if frag is None or frag.ptables != ptables:
-            import os
-            frag = DistFragment(
-                self._get_mesh(), ptables, self.functions,
-                broadcast_rows=int(os.environ.get("IGLOO_BROADCAST_ROWS",
-                                                  1 << 20)))
-            self._frag_cache[id(plan)] = frag
-        self._last_frag = frag          # scaling harness reads .last_cost
+            scans(plan)
+            frag = self._frag_cache.get(id(plan))
+            if frag is None or frag.ptables != ptables:
+                import os
+                frag = DistFragment(
+                    self._get_mesh(), ptables, self.functions,
+                    broadcast_rows=int(os.environ.get(
+                        "IGLOO_BROADCAST_ROWS", 1 << 20)))
+                self._frag_cache[id(plan)] = frag
+            self._last_frag = frag      # scaling harness reads .last_cost
         return frag.run(plan).to_device_table()
 
     def _as_scan(self, child, result: DeviceTable):
