@@ -103,8 +103,12 @@ class LazyFileProvider(TableProvider):
 
     def load(self):
         if self._loaded is None:
-            self._loaded = DeviceTable.from_arrow(self._load_fn(),
-                                                  device=self._device)
+            t = self._load_fn()
+            # load_fn may stream straight into a DeviceTable (bounded-
+            # memory parquet ingest) instead of materializing pa.Table
+            self._loaded = (t if isinstance(t, DeviceTable)
+                            else DeviceTable.from_arrow(
+                                t, device=self._device))
         return self._loaded
 
     def row_estimate(self):

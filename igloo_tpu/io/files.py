@@ -43,7 +43,16 @@ def register_parquet(catalog: Catalog, name: str, path: str, device=None) -> Non
     def schema_fn():
         return pq.read_schema(path)
 
+    # files past this size ingest in bounded row-group chunks with
+    # decode↔upload overlap (table.py from_parquet_streamed) instead of
+    # materializing the whole pa.Table + a second device copy
+    stream_bytes = int(os.environ.get("IGLOO_STREAM_INGEST_BYTES",
+                                      256 << 20))
+
     def load_fn():
+        from ..table import DeviceTable
+        if os.path.getsize(path) >= stream_bytes:
+            return DeviceTable.from_parquet_streamed(path, device=device)
         return pq.read_table(path)
 
     catalog.register(name, LazyFileProvider(
