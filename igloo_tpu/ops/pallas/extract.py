@@ -135,7 +135,8 @@ def _predicate(thr_ref, planes, valids_i32, key_specs, br, i):
 
 def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
             cap_rows: int, br: int, emit_index: bool = False,
-            has_alive: bool = True, n_thr: int = 0):
+            has_alive: bool = True, n_thr: int = 0,
+            gidx_packs: bool = False):
     n_out = 2 if emit_index else (n_planes + n_valids + 1)
     it = iter(refs)
     thr_ref = next(it)
@@ -186,16 +187,8 @@ def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
     #   roll-based prefix sums, (R,1) columns sliced from full-width
     #   vectors, [r,0] element extraction, SMEM carries from those.
     # Everything below sticks to that idiom — no reduce primitives.
-    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     sub1 = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
     ci = jnp.where(cond, jnp.int32(1), jnp.int32(0)) * ai  # cand as 0/1
-
-    def lane_prefix(x):
-        s = 1
-        while s < _LANE:
-            x = x + jnp.where(lane >= s, pltpu.roll(x, s, axis=1), 0)
-            s *= 2
-        return x
 
     def row_cumsum(col):                       # (BR,1) inclusive
         s = 1
@@ -205,8 +198,11 @@ def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
             s *= 2
         return col
 
-    row_el = lane_prefix(ci)[:, _LANE - 1:_LANE]       # (BR,1) cand/row
-    row_al = lane_prefix(ai)[:, _LANE - 1:_LANE]       # (BR,1) alive/row
+    # per-row lane reductions: jnp.sum along lanes lowers fine on the
+    # current Mosaic (the historical full-width roll-prefix workaround
+    # cost ~2x17 element-ops/row — the kernel's single biggest term)
+    row_el = jnp.sum(ci, axis=1, keepdims=True)        # (BR,1) cand/row
+    row_al = jnp.sum(ai, axis=1, keepdims=True)        # (BR,1) alive/row
 
     # ---- stats ----
     carry_ref[1] = carry_ref[1] + row_cumsum(row_el)[br - 1, 0]
@@ -229,8 +225,15 @@ def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
         # budget independent of the table's width (the 1B-row top-k
         # memory enabler; see dist_exec._topk_prune_fused_index).
         sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         gidx = (i * br + sub) * _LANE + lane
-        movers = [gidx, ci]
+        if gidx_packs:
+            # one routed plane instead of two: the candidate bit rides
+            # in bit 30 of the flat index (n <= 2^30), unpacked at the
+            # (tiny) staging step
+            movers = [gidx | (ci << 30)]
+        else:
+            movers = [gidx, ci]
     else:
         movers = (planes + valids_i32 + [ci])
 
@@ -255,8 +258,12 @@ def _kernel(*refs, key_specs: tuple, n_planes: int, n_valids: int,
 
     @pl.when(k_rows > 0)
     def _emit():
-        for pi in range(n_out):
-            stage_ref[pi] = movers[pi]
+        if emit_index and gidx_packs:
+            stage_ref[0] = movers[0] & jnp.int32((1 << 30) - 1)
+            stage_ref[1] = (movers[0] >> 30) & 1
+        else:
+            for pi in range(n_out):
+                stage_ref[pi] = movers[pi]
         for pi, oref in enumerate(out_refs):
             dma = pltpu.make_async_copy(
                 stage_ref.at[pi], oref.at[pl.ds(off_c, br)], sem)
@@ -383,7 +390,8 @@ def _extract_call(thr, alive, planes, valids, *, key_specs, cap_rows,
                              n_planes=n_planes, n_valids=n_valids,
                              cap_rows=cap_rows, br=br,
                              emit_index=emit_index,
-                             has_alive=has_alive, n_thr=thr.shape[0])
+                             has_alive=has_alive, n_thr=thr.shape[0],
+                             gidx_packs=(n <= (1 << 30)))
     blk = pl.BlockSpec((br, _LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
