@@ -211,6 +211,40 @@ def test_dense_anti_null_build(engine, dense):
         assert dense["n"] == 1
 
 
+def test_dense_sorted_semi_shape(engine, dense, monkeypatch):
+    """No right column consumed downstream → semi shape → the sorted
+    bitmap-probe path (dist route only)."""
+    from igloo_tpu.parallel.dist_exec import DistFragment
+    monkeypatch.setattr(DistFragment, "DSORT_MIN_ROWS", 1)
+    hits = {"n": 0}
+    orig = DistFragment._dense_sorted_probe
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        if out is not None:
+            hits["n"] += 1
+        return out
+    monkeypatch.setattr(DistFragment, "_dense_sorted_probe", spy)
+
+    probe, build = _tables(12)
+    out = _run(engine, probe, build,
+               "SELECT sum(p.pv) AS s FROM p JOIN b ON p.k = b.k")
+    exp = sum(pv for _, pv, _ in _oracle(probe, build, "inner"))
+    assert out.column(0).to_pylist() == [exp]
+    if dense["route"] == "dist":
+        assert hits["n"] == 1
+
+    # key column in the output is reconstructible → still semi shape
+    out = _run(engine, probe, build,
+               "SELECT b.k, count(*) AS c FROM p JOIN b ON p.k = b.k "
+               "GROUP BY b.k ORDER BY b.k")
+    exp2: dict = {}
+    for k, _, _ in _oracle(probe, build, "inner"):
+        exp2[k] = exp2.get(k, 0) + 1
+    got = list(zip(out.column(0).to_pylist(), out.column(1).to_pylist()))
+    assert got == sorted(exp2.items())
+
+
 def test_dense_join_then_agg(engine, dense):
     probe, build = _tables(9, extra_col=True)
     out = _run(engine, probe, build,
