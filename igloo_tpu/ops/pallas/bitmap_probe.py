@@ -40,7 +40,7 @@ SLOTS_PER_ROW = _LANE * 32
 
 
 def _kernel(w0_ref, skey_ref, win0_ref, win1_ref, out_ref, stats_ref,
-            carry_ref, *, br: int, span: int):
+            carry_ref, *, br: int, span: int, bps: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -49,7 +49,9 @@ def _kernel(w0_ref, skey_ref, win0_ref, win1_ref, out_ref, stats_ref,
 
     shape = (br, _LANE)
     skey = skey_ref[...]
-    word = jax.lax.shift_right_logical(skey, 5)
+    # bps bits per slot: slots pack 32/bps to an int32 word
+    slot_shift = (32 // bps - 1).bit_length()
+    word = jax.lax.shift_right_logical(skey, slot_shift)
     lane = jnp.bitwise_and(word, _LANE - 1)
     base = w0_ref[i] * WR
     lrow = jax.lax.shift_right_logical(word, 7) - base
@@ -65,13 +67,12 @@ def _kernel(w0_ref, skey_ref, win0_ref, win1_ref, out_ref, stats_ref,
 
     alive = skey < span
     resolved = (lrow >= 0) & (lrow < 2 * WR)
-    bit = jnp.bitwise_and(skey, 31)
+    sub = jnp.bitwise_and(skey, 32 // bps - 1) * bps
     hit = jnp.bitwise_and(
-        jax.lax.shift_right_logical(acc, bit), 1)
+        jax.lax.shift_right_logical(acc, sub), (1 << bps) - 1)
     # int32 select then narrow: an i8 scalar-splat select on an i1
     # vector trips the Mosaic "Invalid relayout" bug (extract.py notes)
-    m32 = jnp.where(alive & resolved & (hit > 0),
-                    jnp.int32(1), jnp.int32(0))
+    m32 = jnp.where(alive & resolved, hit, jnp.int32(0))
     out_ref[...] = m32.astype(jnp.int8)
 
     unres = jnp.where(alive & ~resolved, jnp.int32(1), jnp.int32(0))
@@ -87,16 +88,20 @@ def _kernel(w0_ref, skey_ref, win0_ref, win1_ref, out_ref, stats_ref,
         stats_ref[0] = carry_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("span", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("span", "bps", "interpret"))
 def bitmap_probe(skey_sorted: jax.Array, bitmap2d: jax.Array,
-                 w0: jax.Array, *, span: int, interpret: bool = False):
+                 w0: jax.Array, *, span: int, bps: int = 1,
+                 interpret: bool = False):
     """skey_sorted: (n,) int32 ascending slot ids in [0, span], where
     span is the dead sentinel; n a multiple of 64·128. bitmap2d:
-    (rows, 128) int32 bitmap, rows a multiple of 2·WR, covering span
-    slots. w0: (n_blocks,) int32 window BLOCK index per probe block
-    (clamped to [0, rows/WR - 2]).
+    (rows, 128) int32 table at bps bits per slot (bps in {1, 8}: a
+    presence bitmap, or the packed value+1 byte table reinterpreted as
+    words), rows a multiple of 2·WR. w0: (n_blocks,) int32 window BLOCK
+    index per probe block (clamped to [0, rows/WR - 2]).
 
-    Returns (matched (n,) int8, unresolved (1,) int32)."""
+    Returns (out (n,) int8 — the bps-bit slot value (0 = no match) —
+    and unresolved (1,) int32)."""
     n = skey_sorted.shape[0]
     br = 512                              # 64K probe elements per block
     assert n % (br * _LANE) == 0
@@ -104,7 +109,7 @@ def bitmap_probe(skey_sorted: jax.Array, bitmap2d: jax.Array,
     rows = bitmap2d.shape[0]
     assert rows % (2 * WR) == 0 and rows >= 2 * WR
 
-    kern = functools.partial(_kernel, br=br, span=span)
+    kern = functools.partial(_kernel, br=br, span=span, bps=bps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -130,6 +135,22 @@ def bitmap_probe(skey_sorted: jax.Array, bitmap2d: jax.Array,
             interpret=interpret,
         )(w0, skey_sorted.reshape(n // _LANE, _LANE), bitmap2d, bitmap2d)
     return out.reshape(n), stats
+
+
+def pack_bytes(table_i8: jax.Array, span: int):
+    """(span,) int8 byte table → ((rows,128) int32 words, rows) at
+    8 bits per slot (512 slots per row), rows padded to 2·WR."""
+    per_row = _LANE * 4
+    rows = -(-span // per_row)
+    rows = -(-rows // (2 * WR)) * (2 * WR)
+    total = rows * per_row
+    p = table_i8
+    if total != span:
+        p = jnp.concatenate([p, jnp.zeros((total - span,), jnp.int8)])
+    w = p.reshape(-1, 4).astype(jnp.uint32) & jnp.uint32(0xFF)
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, :]
+    words = jnp.sum(w << shifts, axis=1).astype(jnp.int32)
+    return words.reshape(rows, _LANE), rows
 
 
 def pack_bitmap(presence_i8: jax.Array, span: int):

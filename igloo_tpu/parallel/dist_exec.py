@@ -2147,11 +2147,13 @@ class DistFragment:
         loff = lkey.astype(jnp.int64) - lo
         in_range = (loff >= 0) & (loff < span) & lj
 
-        if (pres is not None and kind is JoinKind.INNER
-                and not self.dsort_disabled):
+        if (kind is JoinKind.INNER and not self.dsort_disabled
+                and (pres is not None
+                     or (packed is not None
+                         and packed_tab.dtype == jnp.int8))):
             out = self._dense_sorted_probe(node, lt, rt, loff, in_range,
-                                           pres, lo, span, key_idx,
-                                           skip_cols)
+                                           pres, packed, packed_tab,
+                                           lo, span, key_idx, skip_cols)
             if out is not None:
                 return out
 
@@ -2208,7 +2210,8 @@ class DistFragment:
     DSORT_MIN_ROWS = 1 << 24
 
     def _dense_sorted_probe(self, node, lt: STable, rt: STable, loff,
-                            in_range, pres, lo, span, key_idx, skip_cols):
+                            in_range, pres, packed, packed_tab,
+                            lo, span, key_idx, skip_cols):
         """SEMI-SHAPE dense join, probe sorted by slot: lax.sort brings
         locality, then ops/pallas/bitmap_probe answers every probe from
         a VMEM bitmap window at ~0.3 ns/row instead of ~9 ns of random
@@ -2218,10 +2221,17 @@ class DistFragment:
         (probe-density gaps) fire OVF_DSORT → retry on the gather path,
         so results are always exact."""
         from ..ops.pallas.bitmap_probe import (WR, SLOTS_PER_ROW,
-                                               bitmap_probe, pack_bitmap)
+                                               bitmap_probe, pack_bitmap,
+                                               pack_bytes)
         kind = node.kind
         n = lt.cap
-        if n < self.DSORT_MIN_ROWS or span > 32 * n or span > (1 << 27):
+        # window-locality gates: a 64K-probe block spans ~64K*span/n
+        # slots and must typically fit a 2-block window (256K slots at
+        # 1 bit/slot, 32K at 8); misses retry on the gather path
+        bps = 1 if pres is not None else 8
+        max_span = 3 * n if bps == 1 else (3 * n) // 8
+        if n < self.DSORT_MIN_ROWS or span > max_span \
+                or span > (1 << 27):
             return None
         lk = node.left_keys[0] if len(node.left_keys) == 1 else None
         if not (isinstance(lk, L.BColumn) and lk.dtype.is_integer):
@@ -2272,14 +2282,19 @@ class DistFragment:
             spay = [jnp.concatenate(
                 [p, jnp.zeros((cap2 - n,), jnp.int32)]) for p in spay]
 
-        bm, rows = pack_bitmap(pres, span)
+        if bps == 1:
+            bm, rows = pack_bitmap(pres, span)
+            spr = SLOTS_PER_ROW
+        else:
+            bm, rows = pack_bytes(packed_tab, span)
+            spr = 128 * 4
         firsts = ssk[::bs]
-        w0 = jnp.clip(firsts // SLOTS_PER_ROW // WR, 0,
+        w0 = jnp.clip(firsts // spr // WR, 0,
                       rows // WR - 2).astype(jnp.int32)
-        matched_i8, unres = bitmap_probe(ssk, bm, w0, span=span,
-                                         interpret=interpret)
+        out_i8, unres = bitmap_probe(ssk, bm, w0, span=span, bps=bps,
+                                     interpret=interpret)
         self._overflow_flags.append((OVF_DSORT, unres[0] > 0))
-        matched = matched_i8 > 0
+        matched = out_i8 > 0
 
         # ---- emit (sorted order) ----
         key64 = ssk.astype(jnp.int64) + lo
@@ -2312,6 +2327,10 @@ class DistFragment:
             dt = c.arr.dtype
             if i == key_idx:
                 out_cols.append(SCol(key64.astype(dt), None, c.dtype,
+                                     c.dictionary, c.stats))
+            elif packed is not None and i == packed[0]:
+                val = (out_i8.astype(jnp.int32) - 1 + packed[1])
+                out_cols.append(SCol(val.astype(dt), None, c.dtype,
                                      c.dictionary, c.stats))
             else:
                 out_cols.append(SCol(jnp.zeros((cap2,), dt), None,

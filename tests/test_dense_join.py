@@ -245,6 +245,36 @@ def test_dense_sorted_semi_shape(engine, dense, monkeypatch):
     assert got == sorted(exp2.items())
 
 
+def test_dense_sorted_value_mode(engine, dense, monkeypatch):
+    """Single packed small-range value column → the byte-window sorted
+    path (zipf config shape): join + GROUP BY on the joined value."""
+    from igloo_tpu.parallel.dist_exec import DistFragment
+    monkeypatch.setattr(DistFragment, "DSORT_MIN_ROWS", 1)
+    rng = np.random.default_rng(21)
+    n, nd = 3000, 64
+    probe = pa.table({
+        "k": pa.array(rng.integers(0, nd, n), type=pa.int32()),
+        "v": pa.array(rng.integers(0, 100, n), type=pa.int32()),
+    })
+    build = pa.table({
+        "k": pa.array(np.arange(nd), type=pa.int32()),
+        "w": pa.array(rng.integers(0, 7, nd), type=pa.int32()),
+    })
+    out = _run(engine, probe, build,
+               "SELECT w, count(*) AS c, sum(v) AS s FROM p JOIN b "
+               "ON p.k = b.k GROUP BY w ORDER BY w")
+    k = np.asarray(probe.column("k")); v = np.asarray(probe.column("v"))
+    w = np.asarray(build.column("w"))
+    exp = {}
+    for kk, vv in zip(k, v):
+        ww = int(w[kk])
+        c0, s0 = exp.get(ww, (0, 0))
+        exp[ww] = (c0 + 1, s0 + int(vv))
+    got = list(zip(out.column(0).to_pylist(), out.column(1).to_pylist(),
+                   out.column(2).to_pylist()))
+    assert got == [(ww, c, s) for ww, (c, s) in sorted(exp.items())]
+
+
 def test_dense_join_then_agg(engine, dense):
     probe, build = _tables(9, extra_col=True)
     out = _run(engine, probe, build,
