@@ -137,12 +137,15 @@ def bitmap_probe(skey_sorted: jax.Array, bitmap2d: jax.Array,
     return out.reshape(n), stats
 
 
-def pack_bytes(table_i8: jax.Array, span: int):
+def pack_bytes(table_i8: jax.Array, span: int, rows_out=None):
     """(span,) int8 byte table → ((rows,128) int32 words, rows) at
-    8 bits per slot (512 slots per row), rows padded to 2·WR."""
+    8 bits per slot (512 slots per row), rows padded to 2·WR (or the
+    caller's rows_out)."""
     per_row = _LANE * 4
     rows = -(-span // per_row)
     rows = -(-rows // (2 * WR)) * (2 * WR)
+    if rows_out is not None:
+        rows = rows_out
     total = rows * per_row
     p = table_i8
     if total != span:
@@ -153,11 +156,13 @@ def pack_bytes(table_i8: jax.Array, span: int):
     return words.reshape(rows, _LANE), rows
 
 
-def pack_bitmap(presence_i8: jax.Array, span: int):
+def pack_bitmap(presence_i8: jax.Array, span: int, rows_out=None):
     """(span,) int8 0/1 presence → ((rows,128) int32 bitmap, rows).
-    rows padded to a multiple of 2·WR."""
+    rows padded to a multiple of 2·WR (or the caller's rows_out)."""
     rows = -(-span // SLOTS_PER_ROW)
     rows = -(-rows // (2 * WR)) * (2 * WR)
+    if rows_out is not None:
+        rows = rows_out
     total = rows * SLOTS_PER_ROW
     p = presence_i8
     if total != span:

@@ -2105,11 +2105,27 @@ class DistFragment:
         row_null = {x for k, x in plan if k == "rownull"}
         skip_cols = {x for k, x in plan if k == "skip"}
 
-        # ---- build: dense slot tables ----
+        # ---- build prep ----
         roff = rkey.astype(jnp.int64) - lo
         okr = rj & (roff >= 0) & (roff < span)
         slot = jnp.where(okr, roff, span).astype(jnp.int32)
         nj_r = jnp.sum(okr.astype(jnp.int32))
+        loff = lkey.astype(jnp.int64) - lo
+        in_range = (loff >= 0) & (loff < span) & lj
+
+        # ---- sorted bitmap path: builds its own table (MXU windowed
+        # placement for sorted build keys, scatter otherwise) ----
+        sortable = (packed is None and not row_cols) or (
+            packed is not None and packed[2] - packed[1] <= 126
+            and not row_cols)
+        if (kind is JoinKind.INNER and not self.dsort_disabled
+                and sortable):
+            out = self._dense_sorted_probe(
+                node, lt, rt, loff, in_range, packed, lo, span, key_idx,
+                skip_cols, roff, okr, nj_r)
+            if out is not None:
+                return out
+
         pres = packed_tab = rows_tab = None
         if packed is not None:
             ci, vlo, vhi = packed
@@ -2143,20 +2159,7 @@ class DistFragment:
                 slot].set(rows, mode="drop")
         self._overflow_flags.append((OVF_DENSE, placed < nj_r))
 
-        # ---- probe ----
-        loff = lkey.astype(jnp.int64) - lo
-        in_range = (loff >= 0) & (loff < span) & lj
-
-        if (kind is JoinKind.INNER and not self.dsort_disabled
-                and (pres is not None
-                     or (packed is not None
-                         and packed_tab.dtype == jnp.int8))):
-            out = self._dense_sorted_probe(node, lt, rt, loff, in_range,
-                                           pres, packed, packed_tab,
-                                           lo, span, key_idx, skip_cols)
-            if out is not None:
-                return out
-
+        # ---- probe: one gather ----
         lc = jnp.clip(loff, 0, span - 1).astype(jnp.int32)
         if packed is not None:
             pv = packed_tab[lc].astype(jnp.int32)
@@ -2210,8 +2213,8 @@ class DistFragment:
     DSORT_MIN_ROWS = 1 << 24
 
     def _dense_sorted_probe(self, node, lt: STable, rt: STable, loff,
-                            in_range, pres, packed, packed_tab,
-                            lo, span, key_idx, skip_cols):
+                            in_range, packed, lo, span, key_idx,
+                            skip_cols, roff, okr, nj_r):
         """SEMI-SHAPE dense join, probe sorted by slot: lax.sort brings
         locality, then ops/pallas/bitmap_probe answers every probe from
         a VMEM bitmap window at ~0.3 ns/row instead of ~9 ns of random
@@ -2220,15 +2223,15 @@ class DistFragment:
         other left columns ride the sort as int32 planes. Window misses
         (probe-density gaps) fire OVF_DSORT → retry on the gather path,
         so results are always exact."""
-        from ..ops.pallas.bitmap_probe import (WR, SLOTS_PER_ROW,
-                                               bitmap_probe, pack_bitmap,
-                                               pack_bytes)
+        from ..ops.pallas.bitmap_probe import (WR, bitmap_probe,
+                                               pack_bitmap, pack_bytes)
+        from ..ops.pallas.bitmap_build import WB, sorted_table_build
         kind = node.kind
         n = lt.cap
         # window-locality gates: a 64K-probe block spans ~64K*span/n
         # slots and must typically fit a 2-block window (256K slots at
         # 1 bit/slot, 32K at 8); misses retry on the gather path
-        bps = 1 if pres is not None else 8
+        bps = 1 if packed is None else 8
         max_span = 3 * n if bps == 1 else (3 * n) // 8
         if n < self.DSORT_MIN_ROWS or span > max_span \
                 or span > (1 << 27):
@@ -2282,12 +2285,69 @@ class DistFragment:
             spay = [jnp.concatenate(
                 [p, jnp.zeros((cap2 - n,), jnp.int32)]) for p in spay]
 
-        if bps == 1:
-            bm, rows = pack_bitmap(pres, span)
-            spr = SLOTS_PER_ROW
+        # ---- build the slot table: MXU windowed placement when the
+        # build keys arrive sorted (detected by a cummax pass), else a
+        # lax.cond scatter fallback — exact either way ----
+        spw = 32 // bps
+        spr = 128 * spw
+        rows = -(-span // spr)
+        rows = -(-rows // (2 * WB)) * (2 * WB)
+        roff32 = roff.astype(jnp.int32)
+        slot_fill = jnp.clip(
+            jax.lax.cummax(jnp.where(okr, roff32, -1)), 0, span - 1)
+        ex_max = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), slot_fill[:-1]])
+        viol = okr & (roff32 < ex_max)
+        mono = jnp.sum(viol.astype(jnp.int32)) == 0
+        if packed is not None:
+            valp = ((rt.cols[packed[0]].arr.astype(jnp.int32)
+                     - packed[1]) + 1)
         else:
-            bm, rows = pack_bytes(packed_tab, span)
-            spr = 128 * 4
+            valp = None
+        bsk = 128 * 128
+        npad_b = -(-rt.cap // bsk) * bsk
+        slot_b = slot_fill
+        live_b = okr.astype(jnp.int8)
+        if npad_b != rt.cap:
+            slot_b = jnp.concatenate(
+                [slot_b, jnp.broadcast_to(slot_b[-1:],
+                                          (npad_b - rt.cap,))])
+            live_b = jnp.concatenate(
+                [live_b, jnp.zeros((npad_b - rt.cap,), jnp.int8)])
+            if valp is not None:
+                valp = jnp.concatenate(
+                    [valp, jnp.zeros((npad_b - rt.cap,), jnp.int32)])
+        w0b = jnp.clip(jax.lax.cummax(slot_b[::bsk] // spr),
+                       0, max(rows - 2 * WB, 0)).astype(jnp.int32)
+        bm_k, unplaced = sorted_table_build(
+            slot_b, live_b, valp, w0b, span=span, bps=bps,
+            nrows_out=rows, interpret=interpret)
+
+        def _scatter_build(_):
+            slotx = jnp.where(okr, roff32, span)
+            if bps == 1:
+                t = jnp.zeros((span,), jnp.int8).at[slotx].set(
+                    jnp.int8(1), mode="drop")
+                return pack_bitmap(t, span, rows_out=rows)[0]
+            t = jnp.zeros((span,), jnp.int8).at[slotx].set(
+                valp[:rt.cap].astype(jnp.int8), mode="drop")
+            return pack_bytes(t, span, rows_out=rows)[0]
+
+        bm = jax.lax.cond(mono & (unplaced[0] == 0),
+                          lambda _: bm_k, _scatter_build, None)
+
+        # duplicate-build-key check from the table itself
+        bmu = jax.lax.bitcast_convert_type(bm, jnp.uint32)
+        if bps == 1:
+            placed = jnp.sum(jax.lax.population_count(bmu)
+                             .astype(jnp.int32))
+        else:
+            placed = jnp.zeros((), jnp.int32)
+            for k in range(4):
+                byte = (bmu >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+                placed = placed + jnp.sum((byte > 0).astype(jnp.int32))
+        self._overflow_flags.append((OVF_DENSE, placed < nj_r))
+
         firsts = ssk[::bs]
         w0 = jnp.clip(firsts // spr // WR, 0,
                       rows // WR - 2).astype(jnp.int32)
