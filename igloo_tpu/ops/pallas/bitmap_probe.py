@@ -40,7 +40,7 @@ SLOTS_PER_ROW = _LANE * 32
 
 
 def _kernel(w0_ref, skey_ref, win0_ref, win1_ref, out_ref, stats_ref,
-            carry_ref, *, br: int, span: int, bps: int):
+            carry_ref, *, br: int, span: int, bps: int, wr: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -53,20 +53,21 @@ def _kernel(w0_ref, skey_ref, win0_ref, win1_ref, out_ref, stats_ref,
     slot_shift = (32 // bps - 1).bit_length()
     word = jax.lax.shift_right_logical(skey, slot_shift)
     lane = jnp.bitwise_and(word, _LANE - 1)
-    base = w0_ref[i] * WR
+    base = w0_ref[i] * wr
     lrow = jax.lax.shift_right_logical(word, 7) - base
 
-    acc = jnp.zeros(shape, jnp.int32)
-    for r in range(WR):
-        row0 = jnp.broadcast_to(win0_ref[r:r + 1, :], shape)
+    def _walk(r, acc):
+        row0 = jnp.broadcast_to(win0_ref[pl.ds(r, 1), :], shape)
         g0 = jnp.take_along_axis(row0, lane, axis=1)
         acc = jnp.where(lrow == r, g0, acc)
-        row1 = jnp.broadcast_to(win1_ref[r:r + 1, :], shape)
+        row1 = jnp.broadcast_to(win1_ref[pl.ds(r, 1), :], shape)
         g1 = jnp.take_along_axis(row1, lane, axis=1)
-        acc = jnp.where(lrow == WR + r, g1, acc)
+        return jnp.where(lrow == wr + r, g1, acc)
+
+    acc = jax.lax.fori_loop(0, wr, _walk, jnp.zeros(shape, jnp.int32))
 
     alive = skey < span
-    resolved = (lrow >= 0) & (lrow < 2 * WR)
+    resolved = (lrow >= 0) & (lrow < 2 * wr)
     sub = jnp.bitwise_and(skey, 32 // bps - 1) * bps
     hit = jnp.bitwise_and(
         jax.lax.shift_right_logical(acc, sub), (1 << bps) - 1)
@@ -89,10 +90,10 @@ def _kernel(w0_ref, skey_ref, win0_ref, win1_ref, out_ref, stats_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("span", "bps", "interpret"))
+                   static_argnames=("span", "bps", "wr", "interpret"))
 def bitmap_probe(skey_sorted: jax.Array, bitmap2d: jax.Array,
                  w0: jax.Array, *, span: int, bps: int = 1,
-                 interpret: bool = False):
+                 wr: int = WR, interpret: bool = False):
     """skey_sorted: (n,) int32 ascending slot ids in [0, span], where
     span is the dead sentinel; n a multiple of 64·128. bitmap2d:
     (rows, 128) int32 table at bps bits per slot (bps in {1, 8}: a
@@ -107,16 +108,16 @@ def bitmap_probe(skey_sorted: jax.Array, bitmap2d: jax.Array,
     assert n % (br * _LANE) == 0
     nb = n // (br * _LANE)
     rows = bitmap2d.shape[0]
-    assert rows % (2 * WR) == 0 and rows >= 2 * WR
+    assert rows % (2 * wr) == 0 and rows >= 2 * wr
 
-    kern = functools.partial(_kernel, br=br, span=span, bps=bps)
+    kern = functools.partial(_kernel, br=br, span=span, bps=bps, wr=wr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((br, _LANE), lambda i, w0r: (i, 0)),
-            pl.BlockSpec((WR, _LANE), lambda i, w0r: (w0r[i], 0)),
-            pl.BlockSpec((WR, _LANE), lambda i, w0r: (w0r[i] + 1, 0)),
+            pl.BlockSpec((wr, _LANE), lambda i, w0r: (w0r[i], 0)),
+            pl.BlockSpec((wr, _LANE), lambda i, w0r: (w0r[i] + 1, 0)),
         ],
         out_specs=[
             pl.BlockSpec((br, _LANE), lambda i, w0r: (i, 0)),

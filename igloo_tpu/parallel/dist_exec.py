@@ -172,7 +172,9 @@ class DistFragment:
         self._compiled: dict = {}        # (factors) -> prepared runner
         self._topk_index_disabled = False  # flipped on a TOPK overflow
         self.dense_disabled = False        # flipped on a DENSE dup overflow
-        self.dsort_disabled = False        # flipped on a DSORT window miss
+        # sorted-probe state machine: "sorted" → "skew" (hot/cold
+        # hybrid) → "off", advanced by OVF_DSORT window-miss retries
+        self.dsort_state = "sorted"
 
     # ---------- host phase ----------
 
@@ -199,10 +201,12 @@ class DistFragment:
                     # general join paths
                     self.dense_disabled = True
                     acted = True
-                if mask & OVF_DSORT and not self.dsort_disabled:
-                    # probe-density gap crossed a bitmap window → the
+                if mask & OVF_DSORT and self.dsort_state != "off":
+                    # probe-density gap crossed a bitmap window: first
+                    # retry the skew-aware hot/cold hybrid, then the
                     # dense GATHER probe (still one gather/row)
-                    self.dsort_disabled = True
+                    self.dsort_state = ("skew" if self.dsort_state ==
+                                        "sorted" else "off")
                     acted = True
                 if mask & OVF_TOPK and not self._topk_index_disabled:
                     # degenerate first-key hi words (e.g. int64 values
@@ -232,7 +236,7 @@ class DistFragment:
     def _run_once(self, plan: L.LogicalPlan) -> PartitionedTable:
         cache_key = (self.shuffle_factor, self.join_factor,
                      self.join_expand, self._topk_index_disabled,
-                     self.dense_disabled, self.dsort_disabled)
+                     self.dense_disabled, self.dsort_state)
         entry = self._compiled.get(cache_key)
         if entry is None:
             self._preps.clear()
@@ -2118,7 +2122,7 @@ class DistFragment:
         sortable = (packed is None and not row_cols) or (
             packed is not None and packed[2] - packed[1] <= 126
             and not row_cols)
-        if (kind is JoinKind.INNER and not self.dsort_disabled
+        if (kind is JoinKind.INNER and self.dsort_state != "off"
                 and sortable):
             out = self._dense_sorted_probe(
                 node, lt, rt, loff, in_range, packed, lo, span, key_idx,
@@ -2274,24 +2278,67 @@ class DistFragment:
                 operands.append(a.astype(jnp.int32))
             if lt.cols[i].valid is not None:
                 operands.append(lt.cols[i].valid.astype(jnp.int32))
-        srt = jax.lax.sort(operands, num_keys=1, is_stable=False)
-        ssk, spay = srt[0], list(srt[1:])
-
         bs = 512 * 128
-        cap2 = -(-n // bs) * bs
-        if cap2 != n:
-            ssk = jnp.concatenate(
-                [ssk, jnp.full((cap2 - n,), span, jnp.int32)])
-            spay = [jnp.concatenate(
-                [p, jnp.zeros((cap2 - n,), jnp.int32)]) for p in spay]
+        skew = self.dsort_state == "skew"
+        n_hot = 64
+        if skew:
+            # ---- hot/cold hybrid (zipf shape): heavy-hitter probe keys
+            # answer from a 64-way vectorized compare; only the cold
+            # minority pays the locality sort. Entered on the first
+            # OVF_DSORT retry (uniform probes never get here). ----
+            from ..ops.masks import compact as _compact
+            from .shuffle import detect_hot_keys
+            hot_keys, hot_flag = detect_hot_keys(
+                skey.astype(jnp.int64), in_range, max(n // 512, 1),
+                n_hot=n_hot)
+            hslot = jnp.clip(hot_keys, 0, span - 1).astype(jnp.int32)
+            is_hot_row = jnp.zeros((n,), jnp.bool_)
+            for j in range(n_hot):
+                is_hot_row = is_hot_row | (hot_flag[j]
+                                           & (skey == hslot[j]))
+            cold_mask = in_range & ~is_hot_row
+            c_arrs, _cv, ccnt = _compact(
+                cold_mask, operands, [None] * len(operands))
+            cap2 = min(-(-max(n // 2, 1) // bs) * bs, -(-n // bs) * bs)
+            # cold overflow (weak skew): advance the state machine
+            self._overflow_flags.append(
+                (OVF_DSORT, ccnt > jnp.int32(min(cap2, n))))
+            iota_c = jnp.arange(cap2, dtype=jnp.int32)
+
+            def _cut(a, fill):
+                a = a[:min(cap2, n)]
+                if cap2 > n:
+                    a = jnp.concatenate(
+                        [a, jnp.full((cap2 - n,), fill, a.dtype)])
+                return a
+
+            ck = jnp.where(iota_c < ccnt, _cut(c_arrs[0], span), span)
+            srt = jax.lax.sort([ck] + [_cut(a, 0) for a in c_arrs[1:]],
+                               num_keys=1, is_stable=False)
+            ssk, spay = srt[0], list(srt[1:])
+        else:
+            srt = jax.lax.sort(operands, num_keys=1, is_stable=False)
+            ssk, spay = srt[0], list(srt[1:])
+            cap2 = -(-n // bs) * bs
+            if cap2 != n:
+                ssk = jnp.concatenate(
+                    [ssk, jnp.full((cap2 - n,), span, jnp.int32)])
+                spay = [jnp.concatenate(
+                    [p, jnp.zeros((cap2 - n,), jnp.int32)])
+                    for p in spay]
 
         # ---- build the slot table: MXU windowed placement when the
         # build keys arrive sorted (detected by a cummax pass), else a
         # lax.cond scatter fallback — exact either way ----
+        # byte tables use 4x-wider windows: 512 slots/row means a
+        # sorted block's key range is 8x denser in rows, and zipf cold
+        # tails need the headroom (window = 2*wr rows)
+        wr = WR if bps == 1 else 128
         spw = 32 // bps
         spr = 128 * spw
+        align = max(2 * WB, 2 * wr)
         rows = -(-span // spr)
-        rows = -(-rows // (2 * WB)) * (2 * WB)
+        rows = -(-rows // align) * align
         roff32 = roff.astype(jnp.int32)
         slot_fill = jnp.clip(
             jax.lax.cummax(jnp.where(okr, roff32, -1)), 0, span - 1)
@@ -2349,12 +2396,59 @@ class DistFragment:
         self._overflow_flags.append((OVF_DENSE, placed < nj_r))
 
         firsts = ssk[::bs]
-        w0 = jnp.clip(firsts // spr // WR, 0,
-                      rows // WR - 2).astype(jnp.int32)
+        w0 = jnp.clip(firsts // spr // wr, 0,
+                      rows // wr - 2).astype(jnp.int32)
         out_i8, unres = bitmap_probe(ssk, bm, w0, span=span, bps=bps,
-                                     interpret=interpret)
-        self._overflow_flags.append((OVF_DSORT, unres[0] > 0))
+                                     wr=wr, interpret=interpret)
+        if skew:
+            # zipf cold tails are self-similar: the sparsest blocks
+            # always outrun any fixed window. Resolve the (bounded)
+            # remnant exactly with a compacted random-gather fixup
+            # instead of abandoning the whole path.
+            from ..ops.masks import compact as _compact2
+            bmf2 = bm.reshape(-1)
+            rowix = ssk // spr
+            basew = jnp.repeat(w0, bs) * wr
+            resolved = (rowix >= basew) & (rowix < basew + 2 * wr)
+            un_mask = (ssk < span) & ~resolved
+            fix_cap = max(cap2 // 8, 1 << 16)
+            fidx, _fv, fc = _compact2(
+                un_mask, [jnp.arange(cap2, dtype=jnp.int32)], [None])
+            self._overflow_flags.append((OVF_DSORT, fc > fix_cap))
+            pos = jnp.clip(fidx[0][:fix_cap], 0, cap2 - 1)
+            skf = ssk[pos]
+            skc = jnp.clip(skf, 0, span - 1)
+            wv = jax.lax.bitcast_convert_type(
+                bmf2[jnp.clip(skc // spw, 0, bmf2.shape[0] - 1)],
+                jnp.uint32)
+            sh = ((skc % spw) * bps).astype(jnp.uint32)
+            fval = jnp.bitwise_and(
+                jax.lax.shift_right_logical(wv, sh),
+                jnp.uint32((1 << bps) - 1)).astype(jnp.int8)
+            iota_f = jnp.arange(fix_cap, dtype=jnp.int32)
+            tgt = jnp.where(iota_f < fc, pos, cap2)
+            out_i8 = out_i8.at[tgt].set(fval, mode="drop")
+        else:
+            self._overflow_flags.append((OVF_DSORT, unres[0] > 0))
         matched = out_i8 > 0
+
+        if skew:
+            # hot slots answer straight from the packed table words
+            bmf = bm.reshape(-1)
+            hword = bmf[hslot // spw]
+            hsh = (hslot % spw) * bps
+            hv = jnp.bitwise_and(
+                jax.lax.shift_right_logical(
+                    jax.lax.bitcast_convert_type(hword, jnp.uint32),
+                    hsh.astype(jnp.uint32)),
+                jnp.uint32((1 << bps) - 1)).astype(jnp.int32)
+            hot_val = jnp.zeros((n,), jnp.int32)
+            hot_hit = jnp.zeros((n,), jnp.bool_)
+            for j in range(n_hot):
+                sel = hot_flag[j] & (skey == hslot[j])
+                hot_hit = hot_hit | (sel & (hv[j] > 0))
+                hot_val = jnp.where(sel, hv[j], hot_val)
+            alive_hot = in_range & is_hot_row & hot_hit
 
         # ---- emit (sorted order) ----
         key64 = ssk.astype(jnp.int64) + lo
@@ -2396,7 +2490,38 @@ class DistFragment:
                 out_cols.append(SCol(jnp.zeros((cap2,), dt), None,
                                      c.dtype, c.dictionary, c.stats))
         names = [f.name for f in node.schema]
-        return STable(out_cols, names, matched, cap2)
+        if not skew:
+            return STable(out_cols, names, matched, cap2)
+
+        # ---- skew: prepend the hot segment (original row order) ----
+        hot_cols = []
+        for i, c in enumerate(lt.cols):
+            hot_cols.append((c.arr, c.valid))
+        lkey_arr = lt.cols[lk.index].arr
+        for i, c in enumerate(rt.cols):
+            dt = c.arr.dtype
+            if i == key_idx:
+                hot_cols.append((lkey_arr.astype(dt), None))
+            elif packed is not None and i == packed[0]:
+                hot_cols.append(((hot_val - 1 + packed[1]).astype(dt),
+                                 None))
+            else:
+                hot_cols.append((jnp.zeros((n,), dt), None))
+        merged = []
+        for (ha, hvld), cc in zip(hot_cols, out_cols):
+            arr = jnp.concatenate([ha, cc.arr])
+            if hvld is not None or cc.valid is not None:
+                valid = jnp.concatenate([
+                    hvld if hvld is not None
+                    else jnp.ones((n,), jnp.bool_),
+                    cc.valid if cc.valid is not None
+                    else jnp.ones((cap2,), jnp.bool_)])
+            else:
+                valid = None
+            merged.append(SCol(arr, valid, cc.dtype, cc.dictionary,
+                               cc.stats))
+        alive = jnp.concatenate([alive_hot, matched])
+        return STable(merged, names, alive, n + cap2)
 
     def _local_join(self, node, lt: STable, l_keys, rt: STable, r_keys,
                     direct=None, dense_ok=False):

@@ -275,6 +275,55 @@ def test_dense_sorted_value_mode(engine, dense, monkeypatch):
     assert got == [(ww, c, s) for ww, (c, s) in sorted(exp.items())]
 
 
+def test_dense_skew_hybrid(engine, dense, monkeypatch):
+    """Forced 'skew' state: hot keys answer via vectorized compares,
+    cold minority via compact+sort+window — results identical."""
+    from igloo_tpu.parallel.dist_exec import DistFragment
+    monkeypatch.setattr(DistFragment, "DSORT_MIN_ROWS", 1)
+    orig_init = DistFragment.__init__
+
+    def init(self, *a, **k):
+        orig_init(self, *a, **k)
+        self.dsort_state = "skew"
+    monkeypatch.setattr(DistFragment, "__init__", init)
+
+    rng = np.random.default_rng(31)
+    n, nd = 4000, 256
+    # zipf-ish: half the rows hit 4 hot keys
+    k = rng.integers(0, nd, n)
+    k[: n // 2] = rng.integers(0, 4, n // 2)
+    rng.shuffle(k)
+    k[: n // 8] = rng.integers(nd, 2 * nd, n // 8)       # misses
+    probe = pa.table({
+        "k": pa.array(k, type=pa.int32()),
+        "v": pa.array(rng.integers(0, 100, n), type=pa.int32()),
+    })
+    build = pa.table({
+        "k": pa.array(np.arange(nd), type=pa.int32()),
+        "w": pa.array(rng.integers(0, 7, nd), type=pa.int32()),
+    })
+    out = _run(engine, probe, build,
+               "SELECT w, count(*) AS c, sum(v) AS s FROM p JOIN b "
+               "ON p.k = b.k GROUP BY w ORDER BY w")
+    v = np.asarray(probe.column("k")), np.asarray(probe.column("v"))
+    w = np.asarray(build.column("w"))
+    exp = {}
+    for kk, vv in zip(*v):
+        if kk < nd:
+            ww = int(w[kk])
+            c0, s0 = exp.get(ww, (0, 0))
+            exp[ww] = (c0 + 1, s0 + int(vv))
+    got = list(zip(out.column(0).to_pylist(), out.column(1).to_pylist(),
+                   out.column(2).to_pylist()))
+    assert got == [(ww, c, s) for ww, (c, s) in sorted(exp.items())]
+
+    # semi shape (presence bits) under skew
+    out = _run(engine, probe, build,
+               "SELECT sum(p.v) AS s FROM p JOIN b ON p.k = b.k")
+    exp_s = sum(int(vv) for kk, vv in zip(*v) if kk < nd)
+    assert out.column(0).to_pylist() == [exp_s]
+
+
 def test_dense_join_then_agg(engine, dense):
     probe, build = _tables(9, extra_col=True)
     out = _run(engine, probe, build,
