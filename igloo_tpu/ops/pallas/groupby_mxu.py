@@ -63,8 +63,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-_STEP = 8192          # rows per grid step (one dot per step)
+_STEP = 8192          # minimum rows per grid step (one dot per step)
 _MAX_M = 128          # one MXU M-tile: H * total_planes must fit
+
+
+def _step_rows(m: int) -> int:
+    """Rows per grid step: bigger blocks amortize per-step overhead
+    (measured: 9.4ms → 7.7ms at 100M rows going 8K → 128K rows/step)
+    but the in-kernel HP matrix is (m, blk) f32 — bound its VMEM share
+    to ~8MB and fall back to 8K rows for wide col_specs."""
+    blk = (8 << 20) // (4 * max(m + 4, 1))
+    blk = max(_STEP, min(131072, blk // _STEP * _STEP))
+    return blk
 
 
 def _pad(x: int, m: int) -> int:
@@ -200,6 +210,7 @@ def groupby_fused_sums(key: jax.Array, alive, values, masks, *,
     h_groups, l_groups = shape
     p = sum(digits)
     m = h_groups * p
+    step = _step_rows(m)
 
     if n % _LANE:
         # rare non-128-multiple capacity: pad to a full block (copies).
@@ -224,15 +235,16 @@ def groupby_fused_sums(key: jax.Array, alive, values, masks, *,
         ins.append(as2d(alive, jnp.int8))
     ins += [as2d(v, jnp.int32) for v in values]
     ins += [as2d(mk, jnp.int8) for mk in masks]
-    nb = -(-n // _STEP)
+    step = min(step, _pad(n, _STEP))
+    nb = -(-n // step)
 
     kern = functools.partial(
         _kernel, h_groups=h_groups, l_groups=l_groups, col_spec=col_spec,
         n_values=len(values), n_masks=len(masks),
-        has_alive=alive is not None, lo_key=lo_key, span=span, blk=_STEP,
+        has_alive=alive is not None, lo_key=lo_key, span=span, blk=step,
         n_rows=n)
     m_pad = _pad(m, 8)
-    blk_spec = pl.BlockSpec((_STEP // _LANE, _LANE), lambda i: (i, 0),
+    blk_spec = pl.BlockSpec((step // _LANE, _LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((m_pad, l_groups), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
