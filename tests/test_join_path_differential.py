@@ -53,6 +53,9 @@ QUERIES = [
     "SELECT sum(p.v) AS s, count(*) AS c FROM p JOIN b ON p.k = b.k",
     "SELECT b.w, sum(p.v) AS s FROM p JOIN b ON p.k = b.k "
     "GROUP BY b.w ORDER BY b.w",
+    "SELECT p.k, p.v, b.w FROM p LEFT JOIN b ON p.k = b.k",
+    "SELECT p.v FROM p WHERE p.k IN (SELECT k FROM b)",
+    "SELECT p.v FROM p WHERE p.k NOT IN (SELECT k FROM b)",
 ]
 
 
