@@ -167,7 +167,14 @@ def try_dense_direct(ex, node, left, right, l_keys, r_keys):
             if rv is not None:
                 rj = rj & rv
             roff = (ra.astype(jnp.int64) - lo)
-            slot = jnp.where(rj, roff, span).astype(jnp.int32)
+            # Bounds-check before the int32 cast (mirrors the dist path):
+            # stale/broken ingest stats could otherwise wrap an offset
+            # >= 2^32 back into [0, span) and corrupt the slot table while
+            # still passing the placed == nj uniqueness check.  Out-of-range
+            # keys route to the dead slot but still count in nj, so
+            # placed != nj detects them and falls back to the general path.
+            okr = rj & (roff >= 0) & (roff < span)
+            slot = jnp.where(okr, roff, span).astype(jnp.int32)
             outs = {}
             if presence:
                 pres = jnp.zeros((span,), jnp.int8).at[slot].set(

@@ -1943,13 +1943,20 @@ class DistFragment:
         if isinstance(e, L.BScalarSubquery):
             return False
         if _dc.is_dataclass(e):
+            # Flatten arbitrarily nested tuple/list containers: BCase.whens
+            # is ((cond, value), ...) — one-level flattening would silently
+            # skip those inner exprs while still claiming complete
+            # enumeration (round-4 advisor finding: CASE over a pruned join
+            # column returned wrong results).
+            def walk(v) -> bool:
+                if isinstance(v, L.BExpr):
+                    return DistFragment._expr_refs(v, out)
+                if isinstance(v, (tuple, list)):
+                    return all(walk(x) for x in v)
+                return True
             for f in _dc.fields(e):
-                v = getattr(e, f.name)
-                vs = v if isinstance(v, (tuple, list)) else (v,)
-                for x in vs:
-                    if isinstance(x, L.BExpr):
-                        if not DistFragment._expr_refs(x, out):
-                            return False
+                if not walk(getattr(e, f.name)):
+                    return False
         return True
 
     def _compute_needed(self, node, needed) -> None:

@@ -280,10 +280,14 @@ class DeviceTable:
 
         cols = {}
         for name in names:
+            vb = vbufs.get(name)
             cols[name] = Column(
                 data=_put(bufs[name], device) if device else bufs[name],
                 dtype=sts[name],
-                validity=vbufs.get(name),
+                # validity must ride with its data: a split placement
+                # forces implicit transfers (or errors) in later jitted ops
+                validity=(_put(vb, device) if (device and vb is not None)
+                          else vb),
                 stats=stats_acc[name])
         return cls(cols, n)
 

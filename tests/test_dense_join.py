@@ -324,6 +324,30 @@ def test_dense_skew_hybrid(engine, dense, monkeypatch):
     assert out.column(0).to_pylist() == [exp_s]
 
 
+def test_dense_case_over_join_column(engine, dense):
+    """Regression (round-4 advisor, high): a join column read ONLY inside
+    a CASE arm must count as needed — BCase.whens nests exprs two levels
+    deep ((cond, value), ...), which a one-level _expr_refs walk missed,
+    pruning the live right column to a zero placeholder."""
+    probe, build = _tables(10, extra_col=True)
+    out = _run(engine, probe, build,
+               "SELECT sum(CASE WHEN b.bw > 2 THEN 1 ELSE 0 END) AS s "
+               "FROM p JOIN b ON p.k = b.k")
+    exp = sum(1 if (bw is not None and bw > 2) else 0
+              for _, _, bw in _oracle(probe, build, "inner",
+                                      cols=("pv", "bv", "bw")))
+    assert out.column(0).to_pylist() == [exp]
+
+    # CASE value arm reading the join column (not just the condition)
+    out = _run(engine, probe, build,
+               "SELECT sum(CASE WHEN p.pv >= 0 THEN b.bw ELSE 0 END) AS s "
+               "FROM p JOIN b ON p.k = b.k")
+    exp = sum(bw for _, _, bw in _oracle(probe, build, "inner",
+                                         cols=("pv", "bv", "bw"))
+              if bw is not None)
+    assert out.column(0).to_pylist() == [exp]
+
+
 def test_dense_join_then_agg(engine, dense):
     probe, build = _tables(9, extra_col=True)
     out = _run(engine, probe, build,
