@@ -23,6 +23,9 @@ class EngineConfig:
     partition_count: Optional[int] = None    # default: number of devices
     # execution
     result_cache: bool = True
+    # re-layout big fact tables on their join key after the first
+    # sorted-probe join (engine.cluster_table applied lazily)
+    auto_cluster: bool = True
     max_result_cache_entries: int = 64
     # persistent (on-disk) result cache directory; None = memory-only
     cache_dir: Optional[str] = None

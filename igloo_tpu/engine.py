@@ -64,6 +64,10 @@ class QueryEngine:
         self._frag_cache: dict = {}
         self._tmp_counter = 0
         self._frag_lock = threading.Lock()
+        # lazily re-cluster big fact tables on the join key the sorted
+        # bitmap probe wants (physical layout is engine-owned): the
+        # first join pays the sort once, every later join skips it
+        self.auto_cluster = True
 
     # ================= registration =================
 
@@ -403,7 +407,74 @@ class QueryEngine:
                         "IGLOO_BROADCAST_ROWS", 1 << 20)))
                 self._frag_cache[id(plan)] = frag
             self._last_frag = frag      # scaling harness reads .last_cost
-        return frag.run(plan).to_device_table()
+        out = frag.run(plan).to_device_table()
+        if frag.cluster_hints:
+            self._apply_cluster_hints(frag.cluster_hints)
+        return out
+
+    # tables below this size don't amortize a layout rewrite (matches
+    # DistFragment.DSORT_MIN_ROWS — smaller probes never take the
+    # sorted path at real scale)
+    AUTO_CLUSTER_MIN_ROWS = 1 << 24
+
+    def _apply_cluster_hints(self, hints) -> None:
+        """Re-layout tables the sorted-probe join flagged: per-shard sort
+        by the join key so repeat joins skip the probe-side lax.sort.
+        Row order is semantically free (SQL tables are unordered);
+        results are bit-identical, only physical layout changes."""
+        if not self.auto_cluster:
+            return
+        with self._frag_lock:
+            acted = False
+            for tname, cname in sorted(hints):
+                pt = self._ptables.get(tname)
+                if (pt is None or pt.clustered_by is not None
+                        or pt.nrows < self.AUTO_CLUSTER_MIN_ROWS):
+                    continue
+                try:
+                    pt.cluster_by(cname)
+                    self._sync_cluster_back(tname, pt)
+                    acted = True
+                except Exception:
+                    continue
+            if acted:
+                # compiled fragments captured the pre-cluster buffers;
+                # drop them so recompiles read the new layout (and the
+                # old arrays can be freed)
+                self._frag_cache.clear()
+
+    def _sync_cluster_back(self, tname: str, pt) -> None:
+        """On a 1-device mesh the PartitionedTable shares the catalog
+        DeviceTable's buffers; point the catalog columns at the
+        re-clustered arrays so the pre-cluster layout can be freed
+        (otherwise the table would be resident twice)."""
+        if pt.num_parts != 1:
+            return
+        try:
+            dt = self.catalog.get_table(tname)
+        except Exception:
+            return
+        for n, pc in pt.cols.items():
+            col = dt.columns.get(n)
+            if col is None:
+                return
+        for n, pc in pt.cols.items():
+            col = dt.columns[n]
+            col.data = pc.data
+            col.validity = pc.valid
+            if getattr(col, "pair_hi", None) is not None:
+                col.pair_hi = pc.pair_hi
+
+    def cluster_table(self, name: str, key: str) -> None:
+        """Explicitly cluster a table's physical layout by an integer
+        column: each shard is sorted by `key`, so sorted-probe joins on
+        it skip their per-query probe sort (the dominant cost of
+        repeated fact⋈dim joins)."""
+        with self._frag_lock:
+            pt = self._ptable(name)
+            pt.cluster_by(key)
+            self._sync_cluster_back(name.lower(), pt)
+            self._frag_cache.clear()
 
     def _as_scan(self, child, result: DeviceTable):
         import dataclasses as _dc

@@ -145,6 +145,14 @@ class STable:
     # when the producer has it. Lets huge-table paths (index top-k)
     # avoid materializing/converting the (cap,) alive plane at all.
     alive_count: object = None
+    # index of the column rows are physically sorted by (clustered base
+    # tables, PartitionedTable.cluster_by) — survives order-preserving
+    # ops (Filter, Projection); the sorted-probe join then skips its
+    # probe-side lax.sort
+    ordered_col: Optional[int] = None
+    # per-column (table, column) provenance while row order is still the
+    # base-table order — drives auto-cluster hints
+    src_cols: Optional[tuple] = None
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +183,10 @@ class DistFragment:
         # sorted-probe state machine: "sorted" → "skew" (hot/cold
         # hybrid) → "off", advanced by OVF_DSORT window-miss retries
         self.dsort_state = "sorted"
+        # (table, column) pairs whose clustering would let the sorted
+        # probe skip its per-query lax.sort — the engine applies these
+        # after the run (auto-cluster)
+        self.cluster_hints: set = set()
 
     # ---------- host phase ----------
 
@@ -236,7 +248,11 @@ class DistFragment:
     def _run_once(self, plan: L.LogicalPlan) -> PartitionedTable:
         cache_key = (self.shuffle_factor, self.join_factor,
                      self.join_expand, self._topk_index_disabled,
-                     self.dense_disabled, self.dsort_state)
+                     self.dense_disabled, self.dsort_state,
+                     # physical-layout state: a table clustered between
+                     # queries must recompile into the pre-sorted probe
+                     tuple(sorted((n, pt.clustered_by)
+                                  for n, pt in self.ptables.items())))
         entry = self._compiled.get(cache_key)
         if entry is None:
             self._preps.clear()
@@ -450,9 +466,17 @@ class DistFragment:
                 count = next(it)[0]
                 cap = cols[0].arr.shape[0] if cols else 0
                 alive = jnp.arange(cap) < count
-                env[id(node)] = STable(cols, names, alive, cap,
-                                       prefix=True,
-                                       alive_count=count.astype(jnp.int32))
+                pt = self.ptables[node.table.lower()]
+                ocol = None
+                if pt.clustered_by is not None:
+                    ocol = next((i for i, f in enumerate(node.schema)
+                                 if f.name == pt.clustered_by), None)
+                env[id(node)] = STable(
+                    cols, names, alive, cap, prefix=True,
+                    alive_count=count.astype(jnp.int32),
+                    ordered_col=ocol,
+                    src_cols=tuple((node.table.lower(), f.name)
+                                   for f in node.schema))
 
             self._aux_offsets = self._compute_aux_offsets()
             out = self._exec(plan, env)
@@ -551,7 +575,10 @@ class DistFragment:
             keep = vv.arr.astype(jnp.bool_)
             if vv.valid is not None:
                 keep = keep & vv.valid
-            return STable(t.cols, t.names, t.alive & keep, t.cap)
+            # selection-mask filters never move rows: clustered order and
+            # base-table provenance survive
+            return STable(t.cols, t.names, t.alive & keep, t.cap,
+                          ordered_col=t.ordered_col, src_cols=t.src_cols)
         if isinstance(node, L.Projection):
             t = self._exec(node.input, env)
             prep = self._preps[id(node)]
@@ -567,9 +594,24 @@ class DistFragment:
                     planes = getattr(t.cols[e.index], "planes", None)
                 cols.append(SCol(vv.arr.astype(f.dtype.to_jax()), vv.valid,
                                  f.dtype, d, stats, planes=planes))
+            # projections keep row order; remap order/provenance through
+            # identity column references
+            ocol = None
+            srcs = []
+            for j, e in enumerate(node.exprs):
+                if isinstance(e, L.BColumn):
+                    if t.ordered_col is not None \
+                            and e.index == t.ordered_col and ocol is None:
+                        ocol = j
+                    srcs.append(t.src_cols[e.index]
+                                if t.src_cols is not None
+                                and e.index < len(t.src_cols) else None)
+                else:
+                    srcs.append(None)
             return STable(cols, [f.name for f in node.schema], t.alive,
                           t.cap, prefix=t.prefix,
-                          alive_count=t.alive_count)
+                          alive_count=t.alive_count,
+                          ordered_col=ocol, src_cols=tuple(srcs))
         if isinstance(node, L.Aggregate):
             return self._exec_aggregate(node, env)
         if isinstance(node, L.Distinct):
@@ -2251,6 +2293,20 @@ class DistFragment:
         if not (isinstance(lk, L.BColumn) and lk.dtype.is_integer):
             return None
 
+        # ---- clustered probe: the table is already physically sorted
+        # by the key (PartitionedTable.cluster_by) — skip the probe-side
+        # lax.sort (~81% of the SF10 join) and keep original row order.
+        # Otherwise record an auto-cluster hint so the engine can fix
+        # the layout once and amortize it across every future query. ----
+        if (self.dsort_state == "sorted" and lt.ordered_col is not None
+                and lt.ordered_col == lk.index):
+            return self._presorted_probe(
+                node, lt, rt, loff, in_range, packed, lo, span, key_idx,
+                skip_cols, roff, okr, nj_r)
+        if (lt.src_cols is not None and lk.index < len(lt.src_cols)
+                and lt.src_cols[lk.index] is not None):
+            self.cluster_hints.add(lt.src_cols[lk.index])
+
         # left payload planes (everything but the reconstructible key)
         plan_l = []          # (col_idx, kind, n_planes)
         n_planes = 0
@@ -2334,73 +2390,8 @@ class DistFragment:
                     [p, jnp.zeros((cap2 - n,), jnp.int32)])
                     for p in spay]
 
-        # ---- build the slot table: MXU windowed placement when the
-        # build keys arrive sorted (detected by a cummax pass), else a
-        # lax.cond scatter fallback — exact either way ----
-        # byte tables use 4x-wider windows: 512 slots/row means a
-        # sorted block's key range is 8x denser in rows, and zipf cold
-        # tails need the headroom (window = 2*wr rows)
-        wr = WR if bps == 1 else 128
-        spw = 32 // bps
-        spr = 128 * spw
-        align = max(2 * WB, 2 * wr)
-        rows = -(-span // spr)
-        rows = -(-rows // align) * align
-        roff32 = roff.astype(jnp.int32)
-        slot_fill = jnp.clip(
-            jax.lax.cummax(jnp.where(okr, roff32, -1)), 0, span - 1)
-        ex_max = jnp.concatenate(
-            [jnp.full((1,), -1, jnp.int32), slot_fill[:-1]])
-        viol = okr & (roff32 < ex_max)
-        mono = jnp.sum(viol.astype(jnp.int32)) == 0
-        if packed is not None:
-            valp = ((rt.cols[packed[0]].arr.astype(jnp.int32)
-                     - packed[1]) + 1)
-        else:
-            valp = None
-        bsk = 128 * 128
-        npad_b = -(-rt.cap // bsk) * bsk
-        slot_b = slot_fill
-        live_b = okr.astype(jnp.int8)
-        if npad_b != rt.cap:
-            slot_b = jnp.concatenate(
-                [slot_b, jnp.broadcast_to(slot_b[-1:],
-                                          (npad_b - rt.cap,))])
-            live_b = jnp.concatenate(
-                [live_b, jnp.zeros((npad_b - rt.cap,), jnp.int8)])
-            if valp is not None:
-                valp = jnp.concatenate(
-                    [valp, jnp.zeros((npad_b - rt.cap,), jnp.int32)])
-        w0b = jnp.clip(jax.lax.cummax(slot_b[::bsk] // spr),
-                       0, max(rows - 2 * WB, 0)).astype(jnp.int32)
-        bm_k, unplaced = sorted_table_build(
-            slot_b, live_b, valp, w0b, span=span, bps=bps,
-            nrows_out=rows, interpret=interpret)
-
-        def _scatter_build(_):
-            slotx = jnp.where(okr, roff32, span)
-            if bps == 1:
-                t = jnp.zeros((span,), jnp.int8).at[slotx].set(
-                    jnp.int8(1), mode="drop")
-                return pack_bitmap(t, span, rows_out=rows)[0]
-            t = jnp.zeros((span,), jnp.int8).at[slotx].set(
-                valp[:rt.cap].astype(jnp.int8), mode="drop")
-            return pack_bytes(t, span, rows_out=rows)[0]
-
-        bm = jax.lax.cond(mono & (unplaced[0] == 0),
-                          lambda _: bm_k, _scatter_build, None)
-
-        # duplicate-build-key check from the table itself
-        bmu = jax.lax.bitcast_convert_type(bm, jnp.uint32)
-        if bps == 1:
-            placed = jnp.sum(jax.lax.population_count(bmu)
-                             .astype(jnp.int32))
-        else:
-            placed = jnp.zeros((), jnp.int32)
-            for k in range(4):
-                byte = (bmu >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
-                placed = placed + jnp.sum((byte > 0).astype(jnp.int32))
-        self._overflow_flags.append((OVF_DENSE, placed < nj_r))
+        bm, rows, wr, spw, spr = self._dsort_build(
+            rt, roff, okr, nj_r, packed, span, bps, interpret)
 
         firsts = ssk[::bs]
         w0 = jnp.clip(firsts // spr // wr, 0,
@@ -2529,6 +2520,137 @@ class DistFragment:
                                cc.stats))
         alive = jnp.concatenate([alive_hot, matched])
         return STable(merged, names, alive, n + cap2)
+
+    def _dsort_build(self, rt, roff, okr, nj_r, packed, span, bps,
+                     interpret):
+        """Build the packed slot table (presence bitmap at bps=1, value
+        bytes at bps=8): MXU windowed placement when the build keys
+        arrive sorted (detected by a cummax pass), else a lax.cond
+        scatter fallback — exact either way. Appends the OVF_DENSE
+        duplicate-key flag. Returns (bm, rows, wr, spw, spr)."""
+        from ..ops.pallas.bitmap_probe import (WR, pack_bitmap, pack_bytes)
+        from ..ops.pallas.bitmap_build import WB, sorted_table_build
+        # byte tables use 4x-wider windows: 512 slots/row means a
+        # sorted block's key range is 8x denser in rows, and zipf cold
+        # tails need the headroom (window = 2*wr rows)
+        wr = WR if bps == 1 else 128
+        spw = 32 // bps
+        spr = 128 * spw
+        align = max(2 * WB, 2 * wr)
+        rows = -(-span // spr)
+        rows = -(-rows // align) * align
+        roff32 = roff.astype(jnp.int32)
+        slot_fill = jnp.clip(
+            jax.lax.cummax(jnp.where(okr, roff32, -1)), 0, span - 1)
+        ex_max = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), slot_fill[:-1]])
+        viol = okr & (roff32 < ex_max)
+        mono = jnp.sum(viol.astype(jnp.int32)) == 0
+        if packed is not None:
+            valp = ((rt.cols[packed[0]].arr.astype(jnp.int32)
+                     - packed[1]) + 1)
+        else:
+            valp = None
+        bsk = 128 * 128
+        npad_b = -(-rt.cap // bsk) * bsk
+        slot_b = slot_fill
+        live_b = okr.astype(jnp.int8)
+        if npad_b != rt.cap:
+            slot_b = jnp.concatenate(
+                [slot_b, jnp.broadcast_to(slot_b[-1:],
+                                          (npad_b - rt.cap,))])
+            live_b = jnp.concatenate(
+                [live_b, jnp.zeros((npad_b - rt.cap,), jnp.int8)])
+            if valp is not None:
+                valp = jnp.concatenate(
+                    [valp, jnp.zeros((npad_b - rt.cap,), jnp.int32)])
+        w0b = jnp.clip(jax.lax.cummax(slot_b[::bsk] // spr),
+                       0, max(rows - 2 * WB, 0)).astype(jnp.int32)
+        bm_k, unplaced = sorted_table_build(
+            slot_b, live_b, valp, w0b, span=span, bps=bps,
+            nrows_out=rows, interpret=interpret)
+
+        def _scatter_build(_):
+            slotx = jnp.where(okr, roff32, span)
+            if bps == 1:
+                t = jnp.zeros((span,), jnp.int8).at[slotx].set(
+                    jnp.int8(1), mode="drop")
+                return pack_bitmap(t, span, rows_out=rows)[0]
+            t = jnp.zeros((span,), jnp.int8).at[slotx].set(
+                valp[:rt.cap].astype(jnp.int8), mode="drop")
+            return pack_bytes(t, span, rows_out=rows)[0]
+
+        bm = jax.lax.cond(mono & (unplaced[0] == 0),
+                          lambda _: bm_k, _scatter_build, None)
+
+        # duplicate-build-key check from the table itself
+        bmu = jax.lax.bitcast_convert_type(bm, jnp.uint32)
+        if bps == 1:
+            placed = jnp.sum(jax.lax.population_count(bmu)
+                             .astype(jnp.int32))
+        else:
+            placed = jnp.zeros((), jnp.int32)
+            for k in range(4):
+                byte = (bmu >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+                placed = placed + jnp.sum((byte > 0).astype(jnp.int32))
+        self._overflow_flags.append((OVF_DENSE, placed < nj_r))
+        return bm, rows, wr, spw, spr
+
+    def _presorted_probe(self, node, lt: STable, rt: STable, loff,
+                         in_range, packed, lo, span, key_idx,
+                         skip_cols, roff, okr, nj_r):
+        """Clustered-table probe: the left table's rows are physically
+        sorted by the join key (PartitionedTable.cluster_by invariants:
+        stored key data monotone over the whole cap array, nulls/dead
+        tail rewritten to the max alive key), so the bitmap-window
+        kernel runs DIRECTLY on the stored order — no probe sort, no
+        payload plane packing, no output reorder. Out-of-range and
+        masked rows probe their clipped slot (monotone, window-local)
+        and are masked by `in_range` afterwards. Window misses fire
+        OVF_DSORT → the host retries on the sorting paths, so a stale
+        or violated layout degrades to correct, never to wrong."""
+        from ..ops.pallas.bitmap_probe import bitmap_probe
+        bps = 1 if packed is None else 8
+        interpret = jax.default_backend() != "tpu"
+        n = lt.cap
+        bm, rows, wr, spw, spr = self._dsort_build(
+            rt, roff, okr, nj_r, packed, span, bps, interpret)
+
+        ssk = jnp.clip(loff, 0, span - 1).astype(jnp.int32)
+        bs = 512 * 128
+        cap2 = -(-n // bs) * bs
+        if cap2 != n:
+            # pad with the last real slot id: keeps the tail monotone
+            # and inside the final window (a span sentinel would not be)
+            ssk = jnp.concatenate(
+                [ssk, jnp.broadcast_to(ssk[-1:], (cap2 - n,))])
+        firsts = ssk[::bs]
+        w0 = jnp.clip(firsts // spr // wr, 0,
+                      rows // wr - 2).astype(jnp.int32)
+        out_i8, unres = bitmap_probe(ssk, bm, w0, span=span, bps=bps,
+                                     wr=wr, interpret=interpret)
+        self._overflow_flags.append((OVF_DSORT, unres[0] > 0))
+        out_i8 = out_i8[:n]
+        matched = in_range & (out_i8 > 0)
+
+        out_cols = list(lt.cols)
+        for i, c in enumerate(rt.cols):
+            dt = c.arr.dtype
+            if i == key_idx:
+                # the joined right key equals the probe key (loff + lo)
+                out_cols.append(SCol((loff + lo).astype(dt), None,
+                                     c.dtype, c.dictionary, c.stats))
+            elif packed is not None and i == packed[0]:
+                val = (out_i8.astype(jnp.int32) - 1 + packed[1])
+                out_cols.append(SCol(val.astype(dt), None, c.dtype,
+                                     c.dictionary, c.stats))
+            else:
+                # no ancestor reads these (semi shape/late pruning)
+                out_cols.append(SCol(jnp.zeros((n,), dt), None, c.dtype,
+                                     c.dictionary, c.stats))
+        names = [f.name for f in node.schema]
+        return STable(out_cols, names, lt.alive & matched, n,
+                      ordered_col=lt.ordered_col, src_cols=None)
 
     def _local_join(self, node, lt: STable, l_keys, rt: STable, r_keys,
                     direct=None, dense_ok=False):

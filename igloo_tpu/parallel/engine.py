@@ -29,11 +29,18 @@ class DistributedQueryEngine(QueryEngine):
         kwargs.setdefault("result_cache", config.result_cache)
         super().__init__(**kwargs)
         self.config = config
+        self.auto_cluster = config.auto_cluster
         self.mesh = mesh or make_mesh(config.mesh_shape, config.mesh_axes)
 
-    def partition_table(self, name: str, hash_key: Optional[str] = None) -> None:
-        """Explicitly (re)partition a table, optionally hash-placed by key
-        so joins/aggregates on that key skip their runtime shuffle."""
+    def partition_table(self, name: str, hash_key: Optional[str] = None,
+                        cluster_key: Optional[str] = None) -> None:
+        """Explicitly (re)partition a table: optionally hash-placed by
+        key so joins/aggregates on that key skip their runtime shuffle,
+        and/or clustered (per-shard sorted) by a key so sorted-probe
+        joins on it skip their probe sort."""
         dt = self.catalog.get_table(name)
-        self._ptables[name.lower()] = PartitionedTable.from_device_table(
-            dt, self.mesh, hash_key=hash_key)
+        pt = PartitionedTable.from_device_table(dt, self.mesh,
+                                                hash_key=hash_key)
+        if cluster_key is not None:
+            pt.cluster_by(cluster_key)
+        self._ptables[name.lower()] = pt
