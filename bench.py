@@ -93,15 +93,25 @@ def _hbm_bandwidth_gbps() -> float:
 
 
 def _time_query(eng, sql: str, iters: int = 5) -> float:
-    """Median wall time of the device query (result stays on device)."""
+    """Median wall time of the device query (result stays on device).
+    Also records, in `_time_query.last`, the cold wall (first run =
+    trace + XLA compile + execute) and the number of fragment program
+    builds during the steady-state iterations (expected 0 — a nonzero
+    count means the workload recompiles per query)."""
+    from igloo_tpu.parallel import dist_exec
     t0 = time.perf_counter()
     eng.sql(sql)  # warm: trace + compile
-    _log(f"warm {time.perf_counter() - t0:.1f}s: {sql[:60]}")
+    cold = time.perf_counter() - t0
+    _log(f"warm {cold:.1f}s: {sql[:60]}")
+    builds0 = dist_exec.PROGRAM_BUILDS
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         eng.sql(sql)
         times.append(time.perf_counter() - t0)
+    _time_query.last = {
+        "cold_wall_seconds": cold,
+        "steady_recompiles": dist_exec.PROGRAM_BUILDS - builds0}
     return float(np.median(times))
 
 
@@ -241,7 +251,7 @@ def main() -> None:
         rows_s = n_rows / dev
         results[name] = {
             "rows_per_s": rows_s, "seconds": dev, "wall_seconds": wall,
-            "sol": rows_s / roofline}
+            "sol": rows_s / roofline, **_time_query.last}
         _log(f"{name}: device {dev*1e3:.1f}ms wall {wall*1e3:.1f}ms "
              f"sol {rows_s / roofline:.4f}")
 
@@ -413,7 +423,9 @@ def main() -> None:
                 "speed_of_light_fraction": round(v["sol"], 4),
                 **{kk: round(v[kk], 4) for kk in
                    ("first_seconds", "first_wall_seconds",
-                    "cluster_seconds") if kk in v}}
+                    "cluster_seconds", "cold_wall_seconds") if kk in v},
+                **({"steady_recompiles": v["steady_recompiles"]}
+                   if "steady_recompiles" in v else {})}
             for k, v in results.items()
         },
         "device": str(jax.devices()[0]),

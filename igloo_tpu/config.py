@@ -26,6 +26,10 @@ class EngineConfig:
     # re-layout big fact tables on their join key after the first
     # sorted-probe join (engine.cluster_table applied lazily)
     auto_cluster: bool = True
+    # snap ingest capacities to a 1/16-granular log grid so nearby table
+    # sizes share compiled fragment shapes (≤12.5% pad in exchange for
+    # a bounded distinct-compile count per workload)
+    shape_buckets: bool = False
     max_result_cache_entries: int = 64
     # persistent (on-disk) result cache directory; None = memory-only
     cache_dir: Optional[str] = None

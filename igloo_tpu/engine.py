@@ -35,7 +35,14 @@ from .table import DeviceTable
 class QueryEngine:
     def __init__(self, device=None, result_cache: bool = True,
                  session_config: Optional[Mapping[str, str]] = None,
-                 fused: bool = True, cache_dir: Optional[str] = None):
+                 fused: bool = True, cache_dir: Optional[str] = None,
+                 shape_buckets: bool = False):
+        if shape_buckets:
+            # snap ingest capacities to a coarse log grid so nearby
+            # table sizes share compiled fragment shapes (bounds the
+            # distinct-compile count of many-table workloads)
+            from . import table as _table
+            _table.SHAPE_BUCKETS = True
         self.device = device
         self.catalog = Catalog()
         self.functions = FunctionRegistry()

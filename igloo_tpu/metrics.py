@@ -11,6 +11,7 @@ throughput; `jax.named_scope` tags every operator so device profiles
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 from collections import defaultdict
 
@@ -33,10 +34,22 @@ class QueryMetrics:
 
 
 class MetricsCollector:
+    """`current` is thread-local: concurrent queries (Flight serves
+    do_get from a gRPC thread pool) each attribute operators/rows to
+    their own QueryMetrics; `history` appends under the GIL."""
+
     def __init__(self):
-        self.current: QueryMetrics | None = None
+        self._tls = threading.local()
         self.history: list[QueryMetrics] = []
         self._op_counts = defaultdict(int)
+
+    @property
+    def current(self) -> QueryMetrics | None:
+        return getattr(self._tls, "current", None)
+
+    @current.setter
+    def current(self, m) -> None:
+        self._tls.current = m
 
     def start_query(self, sql: str) -> None:
         self.current = QueryMetrics(sql=sql)

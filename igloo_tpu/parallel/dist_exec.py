@@ -57,6 +57,11 @@ OVF_TOPK = 8      # index-emit top-k candidate superset too small
 OVF_DENSE = 16    # dense slot-table join saw duplicate build keys
 OVF_DSORT = 32    # sorted bitmap-probe window missed (density gap)
 
+# process-wide count of fragment program builds (each is a fresh XLA
+# trace + compile unless the persistent cache hits) — bench.py snapshots
+# it around steady-state iterations to prove zero recompiles
+PROGRAM_BUILDS = 0
+
 
 # ---------------------------------------------------------------------------
 # distributability
@@ -187,10 +192,19 @@ class DistFragment:
         # probe skip its per-query lax.sort — the engine applies these
         # after the run (auto-cluster)
         self.cluster_hints: set = set()
+        # one in-flight run per fragment: the retry state machine
+        # (factors, dsort_state, _overflow_flags) is instance state, and
+        # identical concurrent queries share the fragment object
+        import threading as _threading
+        self._run_lock = _threading.Lock()
 
     # ---------- host phase ----------
 
     def run(self, plan: L.LogicalPlan) -> PartitionedTable:
+        with self._run_lock:
+            return self._run_retrying(plan)
+
+    def _run_retrying(self, plan: L.LogicalPlan) -> PartitionedTable:
         attempt = 0
         while True:
             try:
@@ -519,6 +533,8 @@ class DistFragment:
         def run(in_arrays, aux_arrays):
             self._overflow_flags = []
             if state["fn"] is None:
+                global PROGRAM_BUILDS
+                PROGRAM_BUILDS += 1
                 specs_in = tuple(in_specs) + tuple([P()] * len(aux_arrays))
                 col_out = P() if self.P == 1 else P("d", None)
                 sm = jax.shard_map(

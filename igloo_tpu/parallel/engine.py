@@ -27,6 +27,7 @@ class DistributedQueryEngine(QueryEngine):
                  **kwargs):
         config = config or EngineConfig(distributed=True)
         kwargs.setdefault("result_cache", config.result_cache)
+        kwargs.setdefault("shape_buckets", config.shape_buckets)
         super().__init__(**kwargs)
         self.config = config
         self.auto_cluster = config.auto_cluster

@@ -41,6 +41,23 @@ def pad_count(n: int, pad: int = PAD) -> int:
     return max(pad, -(-n // pad) * pad)
 
 
+# Opt-in ingest-capacity bucketing (EngineConfig.shape_buckets /
+# QueryEngine(shape_buckets=True)): snap table capacities to a 1/16-
+# granular log grid so nearby table sizes share compiled fragment
+# shapes. Bounds the number of distinct XLA compiles a many-table
+# workload triggers at the cost of ≤12.5% padded rows per table —
+# leave off when per-query throughput matters more than compile count.
+SHAPE_BUCKETS = False
+
+
+def bucket_count(n: int) -> int:
+    cap = pad_count(n)
+    if not SHAPE_BUCKETS or cap <= (1 << 20):
+        return cap
+    step = 1 << ((cap - 1).bit_length() - 4)   # 16 steps per octave
+    return pad_count(-(-cap // step) * step)
+
+
 def combine_pair64(lo: jax.Array, hi: jax.Array) -> jax.Array:
     """(lo, hi) int32 planes → int64 values."""
     lo_u = jax.lax.bitcast_convert_type(lo, jnp.uint32).astype(jnp.uint64)
@@ -144,7 +161,7 @@ class DeviceTable:
     @classmethod
     def from_arrow(cls, table: pa.Table, device=None) -> "DeviceTable":
         nrows = table.num_rows
-        cap = pad_count(nrows)
+        cap = bucket_count(nrows)
         cols: dict[str, Column] = {}
         for name, col in zip(table.column_names, table.columns):
             st = sqltype_from_arrow(col.type)
@@ -234,7 +251,7 @@ class DeviceTable:
                 elif stats.null_count > 0:
                     nullable[name] = True
 
-        cap = pad_count(n)
+        cap = bucket_count(n)
         names = [f.name for f in schema]
         bufs = {}
         vbufs = {}

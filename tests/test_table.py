@@ -98,3 +98,23 @@ def test_persistent_cache_memory_tables_never_cross(tmp_path):
     e2.register_table("m", pa.table({"x": [10, 20, 30]}))
     out = e2.execute("SELECT sum(x) AS s FROM m")
     assert out.column("s").to_pylist() == [60]  # no stale cross-process hit
+
+
+def test_shape_buckets():
+    """Opt-in ingest-cap bucketing: small tables unchanged; big caps
+    snap to a 1/16-granular log grid (≤12.5% pad), PAD-aligned."""
+    import igloo_tpu.table as T
+    assert T.bucket_count(100) == T.pad_count(100)
+    assert T.bucket_count(1 << 20) == T.pad_count(1 << 20)
+    old = T.SHAPE_BUCKETS
+    T.SHAPE_BUCKETS = True
+    try:
+        for n in (60_000_000, 100_000_000, (1 << 20) + 1, 12_345_678):
+            b = T.bucket_count(n)
+            assert b >= T.pad_count(n)
+            assert b % T.PAD == 0
+            assert b <= T.pad_count(n) * 1.125 + T.PAD
+        # nearby sizes share one shape
+        assert T.bucket_count(60_000_000) == T.bucket_count(62_000_000)
+    finally:
+        T.SHAPE_BUCKETS = old
