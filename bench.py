@@ -42,8 +42,16 @@ roofline denominator, bytes per input row; "+w" = write traffic):
                          chip (the single-chip proxy of the N-host
                          skewed-shuffle config): read k(4)+v(4)+dim
                          probe(4)+masks(1)                 = 13 B/row
+  #6 out-of-core agg     filter+GROUP BY over a 34 GiB VIRTUAL table
+                         (>= 2x the 16 GiB HBM) streamed through one
+                         fixed device capacity (igloo_tpu/ooc.py).
+                         Reported outside the geomean: wall time here
+                         is the dev tunnel's h2d path; the config's
+                         claims are bounded device residency
+                         (peak_live_gib) and exact results.
 
-The headline metric is the geometric mean of per-config rows/s (device).
+The headline metric is the geometric mean of per-config rows/s (device),
+configs #1-#5.
 """
 
 from __future__ import annotations
@@ -210,7 +218,7 @@ def main() -> None:
         smoke = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(
                 os.path.abspath(__file__)), "scripts", "smoke_tpu.py")],
-            timeout=1800)
+            stdout=sys.stderr, timeout=1800)
         if smoke.returncode != 0:
             _log("SMOKE GATE FAILED — refusing to report benchmark "
                  "numbers (fix the lowering failure first)")
@@ -405,6 +413,45 @@ def main() -> None:
                {"k": (SqlType.INT64, None, None)})
     run("sort_topk", "SELECT k FROM keys64 ORDER BY k LIMIT 1000", n4, 4.5)
     eng.sql("DROP TABLE keys64")
+    cleanup()
+
+    # ---- config #6: out-of-core streaming aggregate over a table
+    # >= 2x device HBM (igloo_tpu/ooc.py). The table is VIRTUAL — a
+    # deterministic generator produces each chunk on the host, so
+    # neither host RAM nor HBM ever holds it whole; the engine streams
+    # chunks through one fixed device capacity and merges decomposed
+    # partials. Reported OUTSIDE the geomean: throughput here measures
+    # the dev tunnel's host->device path (the reference's equivalent is
+    # 1024-row streamed batches, parquet_scan.rs:46-82 — also
+    # ingest-bound). What this config proves: bounded device residency
+    # (peak_live_gib) + exact results (generator-side accumulators).
+    ooc_report = None
+    if not os.environ.get("IGLOO_BENCH_SKIP_OOC"):
+        # the 32 GiB stream takes ~20 min through the dev tunnel
+        # (~26 MB/s h2d) — run it in a TIMEBOXED subprocess so a
+        # bad-tunnel day cannot swallow the whole benchmark (the main
+        # JSON line must always print). Measured full-scale result on
+        # this chip: 64 chunks, 1255 s wall, peak live 0.50 GiB,
+        # exact_match true (r5).
+        import subprocess
+        budget = int(os.environ.get("IGLOO_OOC_TIMEOUT", "2400"))
+        _log(f"ooc aggregate: subprocess, budget {budget}s")
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--ooc",
+                 str(scale)],
+                stdout=subprocess.PIPE, stderr=sys.stderr, timeout=budget)
+            line = [ln for ln in p.stdout.decode().splitlines()
+                    if ln.startswith("{")]
+            ooc_report = json.loads(line[-1]) if line else {
+                "error": f"ooc subprocess rc={p.returncode}"}
+        except subprocess.TimeoutExpired:
+            ooc_report = {"timed_out": True, "budget_s": budget,
+                          "note": "tunnel h2d too slow this run; "
+                                  "full-scale reference: 1255s, exact"}
+        if ooc_report.get("exact_match") is False:
+            _log("OOC RESULT MISMATCH — refusing to report")
+            sys.exit(1)
 
     geo = math.exp(sum(math.log(r["rows_per_s"]) for r in results.values())
                    / len(results))
@@ -428,9 +475,83 @@ def main() -> None:
                    if "steady_recompiles" in v else {})}
             for k, v in results.items()
         },
+        **({"ooc_aggregate": ooc_report} if ooc_report else {}),
         "device": str(jax.devices()[0]),
     }))
 
 
+def ooc_main(scale: int) -> None:
+    """Config #6 (out-of-core streaming aggregate) as a standalone run:
+    prints ONE JSON line with the ooc report (consumed by main())."""
+    import os
+
+    import jax
+
+    if os.environ.get("IGLOO_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import pyarrow as _pa
+
+    from igloo_tpu import QueryEngine
+
+    eng = QueryEngine(result_cache=False)
+    n6 = (1 << 31) // scale
+    chunk_rows = min(1 << 25, max(n6 // 4, 1 << 13))
+    acc = {"cnt": 0, "sum": 0, "starts": set()}
+
+    def ooc_chunk(start, stop, columns):
+        i = np.arange(start, stop, dtype=np.uint64)
+        h = i.copy()
+        h ^= h >> 30
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> 27
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> 31
+        g = (h % np.uint64(1024)).astype(np.int64)
+        v = ((h >> np.uint64(16)) % np.uint64(100_000)).astype(np.int64)
+        if start not in acc["starts"]:     # oracle (first pass only)
+            acc["starts"].add(start)
+            m = v > 50_000
+            acc["cnt"] += int(m.sum())
+            acc["sum"] += int(v[m].sum())
+        out = {"g": g, "v": v}
+        return {c: out[c] for c in columns}
+
+    eng.register_chunked(
+        "big", fields=_pa.schema([("g", _pa.int64()), ("v", _pa.int64())]),
+        nrows=n6, chunk_fn=ooc_chunk, chunk_rows=chunk_rows)
+    _log(f"ooc aggregate: streaming {n6 * 16 / 2**30:.1f} GiB "
+         f"virtual table in {-(-n6 // chunk_rows)} chunks")
+    t0 = time.perf_counter()
+    got = eng.sql(
+        "SELECT g, sum(v) AS s, count(*) AS c FROM big "
+        "WHERE v > 50000 GROUP BY g").to_arrow()
+    ooc_wall = time.perf_counter() - t0
+    exact = (sum(got.column("c").to_pylist()) == acc["cnt"]
+             and sum(got.column("s").to_pylist()) == acc["sum"])
+    st = eng.last_ooc
+    hbm = None
+    try:
+        hbm = jax.devices()[0].memory_stats().get("bytes_limit")
+    except Exception:
+        pass
+    report = {
+        "rows_per_s": round(n6 / ooc_wall),
+        "wall_seconds": round(ooc_wall, 2),
+        "table_gib": round(n6 * 16 / 2**30, 2),
+        "hbm_gib": round(hbm / 2**30, 2) if hbm else None,
+        "chunks": st.chunks if st else None,
+        "peak_live_gib": round(st.peak_live_bytes / 2**30, 3)
+        if st else None,
+        "exact_match": exact,
+    }
+    _log(f"ooc_aggregate: wall {ooc_wall:.1f}s exact={exact} "
+         f"peak live {report['peak_live_gib']} GiB")
+    print(json.dumps(report))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--ooc":
+        ooc_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1)
+    else:
+        main()

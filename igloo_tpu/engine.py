@@ -75,6 +75,14 @@ class QueryEngine:
         # bitmap probe wants (physical layout is engine-owned): the
         # first join pays the sort once, every later join skips it
         self.auto_cluster = True
+        # out-of-core: any chunked (host/virtual-resident) tables
+        # registered? gates the per-query plan walk in _ooc_route
+        self._has_chunked = False
+        self.last_ooc = None
+
+    def _ooc_route(self, plan) -> bool:
+        from .ooc import ooc_scans
+        return bool(ooc_scans(plan, self.catalog))
 
     # ================= registration =================
 
@@ -103,9 +111,52 @@ class QueryEngine:
                 raise IglooError(f"cannot register table from {type(source)}")
             self._bump()
 
-    def register_parquet(self, name: str, path: str) -> None:
+    def register_parquet(self, name: str, path: str,
+                         out_of_core: bool = False,
+                         chunk_rows: int = 1 << 22) -> None:
+        if out_of_core:
+            from .ooc import ChunkedTableProvider
+            import os as _os
+            st = _os.stat(path)
+            with self._lock:
+                self.catalog.register(name, ChunkedTableProvider.from_parquet(
+                    path, chunk_rows,
+                    identity=f"parquet:{path}:{st.st_mtime_ns}:{st.st_size}"))
+                self._has_chunked = True
+                self._bump()
+            return
         with self._lock:
             register_parquet(self.catalog, name, path, device=self.device)
+            self._bump()
+
+    def register_chunked(self, name: str, source=None, *, fields=None,
+                         nrows: int = None, chunk_fn=None,
+                         chunk_rows: int = 1 << 22) -> None:
+        """Register an out-of-core (chunked, host/virtual-resident) table:
+        a pa.Table kept on host, or a fully virtual table via
+        `chunk_fn(start, stop, columns) -> dict[str, np.ndarray]` with
+        `fields` (pa.schema or Field tuple) and `nrows`. Queries stream
+        it through bounded device buffers (see igloo_tpu/ooc.py)."""
+        from .ooc import ChunkedTableProvider
+        if isinstance(source, pa.Table):
+            prov = ChunkedTableProvider.from_arrow(source, chunk_rows)
+        elif source is None:
+            if fields is None or nrows is None or chunk_fn is None:
+                raise IglooError(
+                    "register_chunked needs source=pa.Table or "
+                    "(fields, nrows, chunk_fn)")
+            if isinstance(fields, pa.Schema):
+                from .dtypes import from_arrow as _fa
+                from .plan.logical import Field as _Field
+                fields = tuple(_Field(f.name, _fa(f.type), f.nullable)
+                               for f in fields)
+            prov = ChunkedTableProvider.from_generator(
+                fields, nrows, chunk_fn, chunk_rows)
+        else:
+            raise IglooError(f"cannot register chunked from {type(source)}")
+        with self._lock:
+            self.catalog.register(name, prov)
+            self._has_chunked = True
             self._bump()
 
     def register_csv(self, name: str, path: str, has_header: bool = True) -> None:
@@ -194,6 +245,11 @@ class QueryEngine:
 
     def _execute_statement(self, stmt, sql: str) -> DeviceTable:
         if isinstance(stmt, (ast.Select, ast.SetOp)):
+            if self._has_chunked:
+                plan = self._plan(stmt, sql)
+                if self._ooc_route(plan):
+                    from .ooc import execute_ooc
+                    return execute_ooc(self, plan)
             if self.fused:
                 return self._execute_fused(stmt, sql)
             plan = self._plan(stmt, sql)
@@ -227,7 +283,11 @@ class QueryEngine:
             if stmt.if_not_exists and self.catalog.has(stmt.name):
                 return DeviceTable.from_arrow(pa.table({"created": [False]}))
             plan = self._plan(stmt.query, sql)
-            result = self.executor.execute(plan)
+            if self._has_chunked and self._ooc_route(plan):
+                from .ooc import execute_ooc
+                result = execute_ooc(self, plan)
+            else:
+                result = self.executor.execute(plan)
             with self._lock:
                 self.catalog.register(stmt.name, MemoryProvider(result))
                 self._bump()

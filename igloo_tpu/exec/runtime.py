@@ -301,8 +301,13 @@ class Executor:
                 (v.arr, v.valid, k.ascending, k.nulls_first)
                 for v, k in zip(vvs, keys)
             ]
-            payload = [c.arr for c in rt.cols] + \
-                      [c.valid for c in rt.cols]
+            # payload MUST come from ctx.cols (the traced arguments),
+            # never rt.cols — closing over rt.cols bakes this
+            # execution's buffers into the cached program as constants,
+            # so a later run with swapped buffers (out-of-core chunk
+            # streaming) would gather stale payload rows
+            payload = [v.arr for v in ctx.cols] + \
+                      [v.valid for v in ctx.cols]
             sorted_payload = sort_with_payload(key_specs, mask, payload)
             ncols = len(rt.cols)
             out_arrs = sorted_payload[:ncols]
@@ -351,11 +356,17 @@ class Executor:
                         inputs.append(AggInput(a.func, v.arr, v.valid, a.distinct, a.param))
                 return ungrouped_aggregate(inputs, mask, PAD)
 
-            out, _ = self._eval_program(rt, arg_exprs, "agg0", body)
+            out, prep = self._eval_program(rt, arg_exprs, "agg0", body)
+            arg_iter = iter(arg_exprs)
             cols = []
             for (arr, valid), spec in zip(out, agg_specs):
                 arr = _cast_physical(arr, spec.out_dtype)
-                cols.append(RCol(arr, valid, spec.out_dtype, None))
+                d = None
+                if spec.arg is not None:
+                    ae = next(arg_iter)
+                    if spec.out_dtype.is_string:
+                        d = prep.out_dict(ae)
+                cols.append(RCol(arr, valid, spec.out_dtype, d))
             mask = jnp.arange(PAD) < 1
             return RTable(cols, [s.out_name for s in agg_specs], mask, PAD)
 
@@ -669,7 +680,9 @@ class Executor:
                  if s.arg is not None else None)
                 for s in specs
             ]
-            inputs = [(c.arr, c.valid) for c in rt.cols]
+            # ctx.cols, not rt.cols: see _run_sort — rt.cols would bake
+            # this run's buffers into the cached program as constants
+            inputs = [(v.arr, v.valid) for v in ctx.cols]
             alive = mask if mask is not None else jnp.ones((cap,), jnp.bool_)
             return window_program(part, order, args, inputs, specs, alive, cap)
 

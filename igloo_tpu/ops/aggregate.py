@@ -340,8 +340,10 @@ def _compute_agg(a: AggInput, s_arr, s_valid, ctx: _SegCtx):
 def ungrouped_aggregate(aggs: list[AggInput], alive: Optional[jax.Array],
                         out_pad: int):
     """Whole-table aggregates → one row, padded to out_pad."""
-    n = aggs[0].arr.shape[0] if aggs and aggs[0].arr is not None else (
-        alive.shape[0] if alive is not None else out_pad)
+    # row count from ANY arg array (the first agg may be count_star with
+    # arr=None while later args carry the real capacity), else the mask
+    n = next((a.arr.shape[0] for a in aggs if a.arr is not None),
+             alive.shape[0] if alive is not None else out_pad)
     alive_m = alive if alive is not None else jnp.ones((n,), jnp.bool_)
 
     outs = []
