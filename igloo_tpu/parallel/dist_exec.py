@@ -188,6 +188,13 @@ class DistFragment:
         # sorted-probe state machine: "sorted" → "skew" (hot/cold
         # hybrid) → "off", advanced by OVF_DSORT window-miss retries
         self.dsort_state = "sorted"
+        # exchange↔compute overlap (SURVEY §7 hard part 4): the probe
+        # side of a dense shuffle join exchanges in this many capacity
+        # slices, with slice c+1's all_to_all issued before slice c's
+        # probe — TPU async collectives then hide exchange latency
+        # behind probe compute. 0/1 disables.
+        self.overlap_chunks = int(os.environ.get(
+            "IGLOO_OVERLAP_CHUNKS", "4"))
         # (table, column) pairs whose clustering would let the sorted
         # probe skip its per-query lax.sort — the engine applies these
         # after the run (auto-cluster)
@@ -1423,13 +1430,20 @@ class DistFragment:
                 # with ONE psum/pmin/pmax vector collective — no shuffle
                 return self._exec_aggregate_tiny(node, t, prep_key, tiny,
                                                  gvv)
+            # dense-small-key MXU aggregate works at ANY P: the one-hot
+            # digit sums are linear in rows, so per-shard tables merge
+            # with ONE psum — no partial-group shuffle, and the partial
+            # phase skips the sort-based path entirely (the sort is what
+            # made going distributed cost ~3x the P=1 plan's bytes).
+            # Digit exactness is sized against GLOBAL rows (t.cap * P):
+            # the psum-merged digit sums must stay exact f32 integers.
+            from ..exec.runtime import mxu_agg_gate
+            mxu = mxu_agg_gate(t.cols, t.cap * self.P, node.group_exprs,
+                               node.aggs)
+            if mxu is not None:
+                return self._exec_aggregate_mxu(node, t, prep_key, mxu)
 
         if self.P == 1:
-            if node.group_exprs and not has_distinct:
-                from ..exec.runtime import mxu_agg_gate
-                mxu = mxu_agg_gate(t.cols, t.cap, node.group_exprs, node.aggs)
-                if mxu is not None:
-                    return self._exec_aggregate_mxu(node, t, prep_key, mxu)
             # single shard: one local aggregate, no shuffle
             inputs = []
             for a in node.aggs:
@@ -1741,7 +1755,14 @@ class DistFragment:
         return STable(cols, names, alive, cap)
 
     def _exec_aggregate_mxu(self, node, t: STable, prep_key, mxu) -> STable:
-        """Dense-small-key GROUP BY on the MXU (P==1 fast path)."""
+        """Dense-small-key GROUP BY on the MXU.
+
+        Works at any P: the one-hot digit-sum table is linear in rows,
+        so per-shard tables merge with ONE psum — the distributed
+        two-phase aggregate collapses to (local MXU kernel, psum), no
+        partial-group shuffle and no sort-based partial pass. The gate
+        sized digit exactness against global rows (caller passes
+        t.cap * P), so the merged digit sums stay exact f32 integers."""
         from ..ops.pallas.groupby_mxu import (build_fused_call,
                                               groupby_fused_sums)
 
@@ -1760,6 +1781,8 @@ class DistFragment:
             karr.astype(jnp.int32), t.alive, values, masks,
             lo_key=lo_k, span=span, g_pad=g_pad, col_spec=col_spec,
             interpret=interpret)
+        if self.P > 1:
+            sums = jax.lax.psum(sums, "d")
         presence = sums[:, 0]
         out_cols = [SCol((lo + jnp.arange(g_pad, dtype=jnp.int64)).astype(
             node.schema[0].dtype.to_jax()), None, node.schema[0].dtype,
@@ -1780,7 +1803,11 @@ class DistFragment:
                     (sums[:, ci] / jnp.maximum(cnt, 1.0)).astype(
                         f.dtype.to_jax()), cnt > 0, f.dtype, None))
             names.append(f.name)
-        return STable(out_cols, names, presence > 0, g_pad)
+        alive = presence > 0
+        if self.P > 1:
+            # merged table is replicated; emit the group rows on shard 0
+            alive = alive & (jax.lax.axis_index("d") == 0)
+        return STable(out_cols, names, alive, g_pad)
 
     def _assemble_agg(self, node, out_keys, out_aggs, ngroups, cap) -> STable:
         prep = self._preps.get(id(node))
@@ -1959,15 +1986,197 @@ class DistFragment:
                 cap2 = self.P * dest_cap
             self._overflow_flags.append((OVF_SHUFFLE, ovf))
             nc = len(t.cols)
-            new_cols = [SCol(arr, valid, c.dtype, c.dictionary)
+            # stats survive row shuffles (value bounds don't move), so
+            # the dense slot-table path stays reachable post-exchange
+            new_cols = [SCol(arr, valid, c.dtype, c.dictionary, c.stats)
                         for (arr, valid), c in zip(new_pairs[:nc], t.cols)]
             new_keys = new_pairs[nc:]
             return (STable(new_cols, t.names, alive, cap2),
                     [(a, v) for a, v in new_keys])
 
+        # ---- exchange↔compute overlap (SURVEY §7 hard part 4): when
+        # the dense slot-table probe applies, the probe side exchanges
+        # in K capacity slices with slice c+1's all_to_all issued
+        # before slice c's probe gathers — data dependences let the TPU
+        # scheduler run the collective concurrently with probe compute
+        # (the pull-shuffle the reference declared but never built,
+        # coordinator.proto:60-68). Bit-identical to the unsliced path:
+        # the slice layout reassembles to the exact same (P × dest_cap)
+        # row placement.
+        if self.overlap_chunks > 1 and node.kind is JoinKind.INNER \
+                and not self.dense_disabled and not self.join_expand \
+                and node.residual is None and len(node.left_keys) == 1:
+            dp = self._dense_params(node, rt)
+            plan = (self._plan_dense_cols(node, rt, dp[2])
+                    if dp is not None else None)
+            if plan is not None:
+                packed = next((x for k, x in plan if k == "pack"), None)
+                row_cols = [x for k, x in plan if k in ("row", "rownull")]
+                sortable = (packed is None and not row_cols) or (
+                    packed is not None and packed[2] - packed[1] <= 126
+                    and not row_cols)
+                post_cap = self.P * self._dest_cap(lt.cap)
+                # the sorted bitmap probe wins at huge probe counts —
+                # don't steal its regime
+                if not (self.dsort_state != "off" and sortable
+                        and post_cap >= self.DSORT_MIN_ROWS):
+                    rt2, rk2 = do_shuffle(rt, r_keys, rkey64, "build")
+                    return self._overlap_probe_join(
+                        node, lt, l_keys, lkey64, rt2, rk2, dp, plan,
+                        salted=((hot_keys, hot_flag) if skew_ok
+                                else None))
+
         lt2, lk2 = do_shuffle(lt, l_keys, lkey64, "probe")
         rt2, rk2 = do_shuffle(rt, r_keys, rkey64, "build")
         return self._local_join(node, lt2, lk2, rt2, rk2, direct=direct)
+
+    def _overlap_probe_join(self, node, lt: STable, l_keys, lkey64,
+                            rt2: STable, rk2, dp, plan, salted):
+        """Chunked probe exchange fused with the dense slot-table probe.
+
+        Send-side prep is identical to shuffle_rows (order/slot/counts);
+        the (P × dest_cap) send buffers then exchange in K =
+        overlap_chunks column slices, and each received slice probes the
+        dense tables (built from the already-shuffled build side)
+        immediately. TRACE bytes match the unsliced exchange."""
+        from .shuffle import is_hot, salted_dest
+
+        lo, span, key_idx = dp
+        P = self.P
+        K = self.overlap_chunks
+        dest_cap = -(-self._dest_cap(lt.cap) // K) * K
+        step = dest_cap // K
+        out_n = P * dest_cap
+
+        # ---- build side: dense tables from the exchanged build rows ----
+        rj = rt2.alive
+        for _, v in rk2:
+            if v is not None:
+                rj = rj & v
+        rkey2 = rk2[0][0]
+        roff = rkey2.astype(jnp.int64) - lo
+        okr = rj & (roff >= 0) & (roff < span)
+        slot_r = jnp.where(okr, roff, span).astype(jnp.int32)
+        nj_r = jnp.sum(okr.astype(jnp.int32))
+        rneeded = self._join_right_needed(node)
+        if rneeded is not None and not any(
+                i in rneeded for i in range(len(rt2.cols))
+                if i != key_idx):
+            plan = [("key", None) if i == key_idx else ("skip", i)
+                    for i in range(len(rt2.cols))]
+        parts = (next((x for k, x in plan if k == "pack"), None),
+                 [x for k, x in plan if k in ("row", "rownull")],
+                 {x for k, x in plan if k == "rownull"},
+                 {x for k, x in plan if k == "skip"})
+        tabs = self._dense_build_tables(rt2, parts, slot_r, nj_r, span)
+
+        # ---- probe side: send prep (mirrors shuffle_rows) ----
+        lkey = l_keys[0][0]
+        lj = lt.alive
+        for _, v in l_keys:
+            if v is not None:
+                lj = lj & v
+        n = lt.cap
+        alive = lt.alive
+        dest = dest_from_key(lkey64, P)
+        if salted is not None:
+            hot_keys, hot_flag = salted
+            hot = is_hot(lkey64, hot_keys, hot_flag)
+            iota_n = jnp.arange(n, dtype=jnp.int32)
+            dest = jnp.where(hot, salted_dest(lkey64, iota_n, P), dest)
+        d = jnp.where(alive, dest, P)
+        counts = jnp.zeros((P,), jnp.int32).at[dest].add(
+            alive.astype(jnp.int32), mode="drop")
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        order = jnp.argsort(d, stable=True)
+        sdest = d[order]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        rank = iota - starts[jnp.clip(sdest, 0, P - 1)]
+        ok = (sdest < P) & (rank < dest_cap)
+        slot = jnp.where(ok, sdest * dest_cap + rank, out_n)
+        self._overflow_flags.append(
+            (OVF_SHUFFLE, jnp.max(counts) > dest_cap))
+
+        def send_buf(arr):
+            return jnp.zeros((out_n,), arr.dtype).at[slot].set(
+                arr[order], mode="drop").reshape(P, dest_cap)
+
+        # planes: left columns (+validity), the probe key, the joinable
+        # mask, the alive mask
+        plane_arrs = []
+        plane_valid_of = []            # left col index -> valid plane idx
+        for c in lt.cols:
+            plane_arrs.append(send_buf(c.arr))
+            if c.valid is not None:
+                plane_valid_of.append(len(plane_arrs))
+                plane_arrs.append(send_buf(c.valid))
+            else:
+                plane_valid_of.append(-1)
+        key_plane = len(plane_arrs)
+        plane_arrs.append(send_buf(lkey))
+        lj_plane = len(plane_arrs)
+        plane_arrs.append(send_buf(lj))
+        alive_plane = len(plane_arrs)
+        plane_arrs.append(send_buf(
+            jnp.ones((n,), jnp.bool_) & alive))
+
+        from . import shuffle as _sh
+        _sh.record_exchange(sum(out_n * b.dtype.itemsize
+                                for b in plane_arrs))
+
+        def exchange_slice(c):
+            return [jax.lax.all_to_all(
+                b[:, c * step:(c + 1) * step].reshape(-1), "d",
+                split_axis=0, concat_axis=0, tiled=True)
+                for b in plane_arrs]
+
+        slices_out: list = []          # per slice: (left_pairs, right_pairs, alive)
+        rec = exchange_slice(0)
+        for c in range(K):
+            nxt = exchange_slice(c + 1) if c + 1 < K else None
+            lkey_c = rec[key_plane]
+            lj_c = rec[lj_plane]
+            alive_c = rec[alive_plane]
+            loff_c = lkey_c.astype(jnp.int64) - lo
+            in_range_c = (loff_c >= 0) & (loff_c < span) & lj_c
+            matched_c, right_pairs_c = self._dense_probe_right(
+                node, rt2, lkey_c, loff_c, in_range_c, parts, tabs, span)
+            left_pairs_c = []
+            pi = 0
+            for ci, col in enumerate(lt.cols):
+                arr = rec[pi]
+                pi += 1
+                if plane_valid_of[ci] >= 0:
+                    valid = rec[pi]
+                    pi += 1
+                else:
+                    valid = None
+                left_pairs_c.append((arr, valid))
+            slices_out.append((left_pairs_c, right_pairs_c,
+                               alive_c & matched_c))
+            rec = nxt
+
+        def stitch(arrs):
+            x = jnp.stack([a.reshape(P, step) for a in arrs], axis=1)
+            return x.reshape(out_n)
+
+        out_cols = []
+        for ci, col in enumerate(lt.cols):
+            arr = stitch([s[0][ci][0] for s in slices_out])
+            vs = [s[0][ci][1] for s in slices_out]
+            valid = stitch(vs) if vs[0] is not None else None
+            out_cols.append(SCol(arr, valid, col.dtype, col.dictionary,
+                                 col.stats))
+        for ri, col in enumerate(rt2.cols):
+            arr = stitch([s[1][ri][0] for s in slices_out])
+            vs = [s[1][ri][1] for s in slices_out]
+            valid = stitch(vs) if vs[0] is not None else None
+            out_cols.append(SCol(arr, valid, col.dtype, col.dictionary,
+                                 col.stats))
+        alive_out = stitch([s[2] for s in slices_out])
+        names = [f.name for f in node.schema]
+        return STable(out_cols, names, alive_out, out_n)
 
     def _direct_params(self, node, rt: STable):
         """Dense-integer build keys → value-indexed probe (no searchsorted);
@@ -2195,6 +2404,26 @@ class DistFragment:
             if out is not None:
                 return out
 
+        parts = (packed, row_cols, row_null, skip_cols)
+        tabs = self._dense_build_tables(rt, parts, slot, nj_r, span)
+        matched, right_pairs = self._dense_probe_right(
+            node, rt, lkey, loff, in_range, parts, tabs, span)
+
+        inner = kind is JoinKind.INNER
+        out_cols = list(lt.cols)
+        for (arr, valid), c in zip(right_pairs, rt.cols):
+            out_cols.append(SCol(arr, valid, c.dtype, c.dictionary,
+                                 c.stats))
+        alive = lt.alive & matched if inner else lt.alive
+        names = [f.name for f in node.schema]
+        return STable(out_cols, names, alive, lt.cap)
+
+    def _dense_build_tables(self, rt: STable, parts, slot, nj_r, span):
+        """Scatter-build the dense slot tables (shared by
+        _dense_local_join and the overlapped chunked probe). Appends the
+        OVF_DENSE duplicate-build-key flag. Returns (pres, packed_tab,
+        rows_tab)."""
+        packed, row_cols, row_null, skip_cols = parts
         pres = packed_tab = rows_tab = None
         if packed is not None:
             ci, vlo, vhi = packed
@@ -2227,8 +2456,17 @@ class DistFragment:
             rows_tab = jnp.zeros((span, rows.shape[1]), jnp.int32).at[
                 slot].set(rows, mode="drop")
         self._overflow_flags.append((OVF_DENSE, placed < nj_r))
+        return pres, packed_tab, rows_tab
 
-        # ---- probe: one gather ----
+    def _dense_probe_right(self, node, rt: STable, lkey, loff, in_range,
+                           parts, tabs, span):
+        """Row-wise dense probe (slice-safe: shapes follow lkey, so the
+        overlapped exchange can call it per received chunk). Returns
+        (matched, right_pairs) where right_pairs[i] is the (arr, valid)
+        of right output column i under _dense_local_join's validity
+        conventions."""
+        packed, row_cols, row_null, skip_cols = parts
+        pres, packed_tab, rows_tab = tabs
         lc = jnp.clip(loff, 0, span - 1).astype(jnp.int32)
         if packed is not None:
             pv = packed_tab[lc].astype(jnp.int32)
@@ -2237,23 +2475,20 @@ class DistFragment:
             matched = in_range & (pres[lc] > 0)
         grows = rows_tab[lc] if row_cols else None
 
-        inner = kind is JoinKind.INNER
-        out_cols = list(lt.cols)
+        inner = node.kind is JoinKind.INNER
+        right_pairs = []
         pi = 0
         for i, c in enumerate(rt.cols):
             dt = c.arr.dtype
-            if i == key_idx:
-                arr = lkey.astype(dt)
-                valid = None if inner else matched
-            elif packed is not None and i == packed[0]:
+            if packed is not None and i == packed[0]:
                 arr = (pv - 1 + packed[1]).astype(dt)
                 valid = None if inner else matched
             elif i in skip_cols:
                 # no ancestor reads this column (late pruning): emit a
                 # dead placeholder so the schema stays aligned
-                arr = jnp.zeros((lt.cap,), dt)
+                arr = jnp.zeros(lkey.shape, dt)
                 valid = None if inner else matched
-            else:
+            elif i in row_null or i in set(row_cols):
                 if dt == jnp.int64:
                     w = jnp.stack([grows[:, pi], grows[:, pi + 1]],
                                   axis=-1)
@@ -2271,11 +2506,11 @@ class DistFragment:
                     valid = nul if inner else (matched & nul)
                 else:
                     valid = None if inner else matched
-            out_cols.append(SCol(arr, valid, c.dtype, c.dictionary,
-                                 c.stats))
-        alive = lt.alive & matched if inner else lt.alive
-        names = [f.name for f in node.schema]
-        return STable(out_cols, names, alive, lt.cap)
+            else:               # the key column: joined value == probe key
+                arr = lkey.astype(dt)
+                valid = None if inner else matched
+            right_pairs.append((arr, valid))
+        return matched, right_pairs
 
     # minimum probe rows for the sorted bitmap path (the sort only
     # amortizes over the gather it replaces at scale); tests patch down
