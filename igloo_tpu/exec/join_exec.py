@@ -194,6 +194,10 @@ def execute_join(ex, node: L.Join, left, right):
             raise NotSupportedError(
                 "semi/anti joins on >64-bit multi-column keys are not "
                 "supported yet")
+        if node.residual is not None:
+            return _semi_anti_residual_path(
+                ex, node, left, right, start, counts, njb, lj,
+                sb_arrs, sb_valids, stats)
         return _semi_anti_path(ex, node, left, right, counts, njb, lj)
 
     total, maxdup = (int(x) for x in jax.device_get(stats))
@@ -234,7 +238,8 @@ def _bucket_join(ex, node, left, right, l_keys, r_keys, exact):
     - otherwise → expansion with per-slot verification (LEFT semantics
       via a cumsum segment-OR over verified slots).
     """
-    if node.residual is not None and node.kind is not JoinKind.INNER:
+    if node.residual is not None and node.kind not in (
+            JoinKind.INNER, JoinKind.SEMI, JoinKind.ANTI):
         raise NotSupportedError(
             "non-equi residual conditions on outer joins are not "
             "supported yet")
@@ -308,6 +313,11 @@ def _bucket_join(ex, node, left, right, l_keys, r_keys, exact):
                        sb_verify, njb, sk_key)
 
     if node.kind in (JoinKind.SEMI, JoinKind.ANTI):
+        if node.residual is not None:
+            return _semi_anti_residual_path(
+                ex, node, left, right, start, counts, njb, lj,
+                sb_arrs, sb_valids, None, maxdup=max_bucket,
+                verify_l=vl, sb_verify=sb_verify)
         return _bucket_semi_anti(ex, node, left, right, start, counts,
                                  njb, lj, vl, build, k_win, total)
 
@@ -590,6 +600,97 @@ def _semi_anti_path(ex, node, left, right, counts, njb, lj):
 
     out_mask = fn(left.mask, right.mask, counts, njb, lj)
     return RTable(left.cols, left.names, out_mask, left.capacity)
+
+
+def _semi_anti_residual_path(ex, node, left, right, start, counts, njb, lj,
+                             sb_arrs, sb_valids, stats, maxdup=None,
+                             verify_l=None, sb_verify=None):
+    """SEMI/ANTI with a non-equi residual over the combined schema
+    (decorrelated EXISTS with inequality correlation — TPC-H Q21's
+    `l2.l_suppkey <> l1.l_suppkey`): a probe row matches iff ANY of its
+    key-matched candidates satisfies the residual.
+
+    Candidates are contiguous in the co-sorted build table, so candidate
+    j of every probe row is ONE gather at start+j; the walk is bounded
+    by maxdup (a host scalar this two-phase join already computes). The
+    residual evaluates once per candidate rank over a combined
+    (left ++ gathered-right) table — only right columns the residual
+    references are gathered. On the bucket path candidates are hash-
+    bucket members (verify_l/sb_verify check the actual keys per rank);
+    on the direct path they are exact key matches."""
+    from ..plan import logical as L
+    from .runtime import RCol, RTable
+
+    if maxdup is None:
+        _, maxdup = (int(x) for x in jax.device_get(stats))
+    if maxdup > 64:
+        raise NotSupportedError(
+            "semi/anti join residual over build keys duplicated >64x")
+    is_anti = node.kind is JoinKind.ANTI
+    null_aware = getattr(node, "null_aware_anti", True)
+    cap = left.capacity
+    r_cap = right.capacity
+    ncl = len(left.cols)
+    refs = L.referenced_columns(node.residual)
+    right_refs = sorted(i - ncl for i in refs if i >= ncl)
+    interpret = _interp()
+
+    def body(ctx, vvs, mask):
+        pred = vvs[0]
+        keep = pred.arr.astype(jnp.bool_)
+        if pred.valid is not None:
+            keep = keep & pred.valid
+        return keep
+
+    matched = jnp.zeros((cap,), jnp.bool_)
+    for j in range(maxdup):
+        pos = jnp.clip(start + j, 0, max(r_cap - 1, 0))
+        to_gather = []
+        slots = {}
+        for i in right_refs:
+            slots[i] = len(to_gather)
+            to_gather.append(sb_arrs[i])
+            if sb_valids[i] is not None:
+                to_gather.append(sb_valids[i])
+        nv = len(to_gather)
+        if sb_verify is not None:
+            to_gather = to_gather + list(sb_verify)
+        gathered = (gather_columns(to_gather, pos, interpret=interpret)
+                    if to_gather else [])
+        key_ok = None
+        if sb_verify is not None:
+            for la, ra in zip(verify_l, gathered[nv:]):
+                eq = la == ra
+                key_ok = eq if key_ok is None else (key_ok & eq)
+        r_rcols = []
+        for i, c in enumerate(right.cols):
+            if i in slots:
+                arr = gathered[slots[i]]
+                valid = (gathered[slots[i] + 1]
+                         if sb_valids[i] is not None else None)
+            else:
+                arr = jnp.zeros((cap,), c.arr.dtype)
+                valid = None
+            r_rcols.append(RCol(arr, valid, c.dtype, c.dictionary))
+        comb = RTable(list(left.cols) + r_rcols,
+                      left.names + right.names, None, cap)
+        keep_j, _ = ex._eval_program(comb, [node.residual], "sa_res", body)
+        hit = (counts > j) & keep_j
+        if key_ok is not None:
+            hit = hit & key_ok
+        matched = matched | hit
+
+    key = ("join_sar", is_anti, null_aware, cap, r_cap,
+           left.mask is not None, right.mask is not None)
+    fn = ex._jit_cache.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(l_mask, r_mask, matched, njb, lj):
+            return _semi_anti_mask(l_mask, r_mask, matched, njb, lj,
+                                   is_anti, r_cap, null_aware)
+        ex._jit_cache[key] = fn
+    out_mask = fn(left.mask, right.mask, matched, njb, lj)
+    return RTable(left.cols, left.names, out_mask, cap)
 
 
 def _unique_path(ex, node, left, right, start, counts, build: _BuildSide,

@@ -895,6 +895,7 @@ class Binder:
 
         corr_pairs = []     # (outer BExpr, inner BExpr)
         inner_preds = []
+        residual_asts = []  # correlated non-equality conjuncts
         correlated = False
         for conj in _split_and(query.where):
             pair = self._corr_eq(conj, sub_scope, scope)
@@ -905,13 +906,47 @@ class Binder:
             try:
                 inner_preds.append(self.bind_expr(conj, sub_scope))
             except BindError:
-                return None     # some other outer reference — unsupported
+                # outer reference in a non-equality conjunct: try it as
+                # a join residual over the combined (outer ++ inner)
+                # schema (TPC-H Q21's l2.l_suppkey <> l1.l_suppkey)
+                residual_asts.append(conj)
+                correlated = True
+            except NotSupportedError:
+                # nested subquery machinery (IN-subquery, correlated
+                # scalar) only runs on full SELECT binding — let the
+                # uncorrelated path bind the whole subquery instead
+                return None
         if not correlated:
             return None         # plain uncorrelated path handles it
 
         sub = sub_plan
         for p_ in inner_preds:
             sub = Filter(sub, p_)
+
+        if not corr_pairs:
+            return None     # residual-only correlation: no equi keys to
+                            # anchor the join — unsupported shape
+
+        residual = None
+        if residual_asts:
+            if mode == "in" and negated:
+                return None  # null-aware NOT IN machinery takes no residual
+            # bind over the COMBINED (outer ++ inner) schema. plan may
+            # carry appended decoration columns (earlier decorrelations)
+            # beyond the user-visible scope — pad with unresolvable
+            # fields so inner indices land at len(plan.schema)+k.
+            pad = [Field("\x00pad", SqlType.INT32, True, table="\x00")
+                   ] * (len(plan.schema) - len(scope.fields))
+            comb = Scope(list(scope.fields) + pad + list(sub_scope.fields))
+            try:
+                parts = [self.bind_expr(c, comb) for c in residual_asts]
+            except (BindError, NotSupportedError):
+                return None
+            residual = parts[0]
+            for p_ in parts[1:]:
+                residual = BBinary(SqlType.BOOL,
+                                   residual.nullable or p_.nullable,
+                                   ast.BinOp.AND, residual, p_)
 
         left_keys = [o for o, _ in corr_pairs]
         right_keys = [i for _, i in corr_pairs]
@@ -931,7 +966,7 @@ class Binder:
         # match and such rows are kept (NOT IN's null-awareness is wrong
         # here — its decorrelated form is handled above)
         return Join(plan, sub, kind, tuple(left_keys), tuple(right_keys),
-                    None, tuple(plan.schema), null_aware_anti=False)
+                    residual, tuple(plan.schema), null_aware_anti=False)
 
     def _corr_not_in(self, plan, sub, corr_pairs, operand, inner_val):
         """Correlated NOT IN: per-group three-valued logic.
@@ -1118,11 +1153,15 @@ class Binder:
 
         li, lo = side(conj.left, inner_scope), side(conj.left, outer_scope)
         ri, ro = side(conj.right, inner_scope), side(conj.right, outer_scope)
-        # one side must resolve ONLY inner, the other ONLY outer
-        if li is not None and lo is None and ro is not None and ri is None:
-            return (ro, li)
-        if ri is not None and ro is None and lo is not None and li is None:
+        # the correlation side must resolve ONLY in the outer scope; the
+        # other side must resolve inner. The inner side MAY also resolve
+        # in the outer scope (the same table can appear in both FROMs —
+        # TPC-H Q2's partsupp): SQL scoping shadows outward, so an
+        # inner-resolvable name IS the inner column.
+        if lo is not None and li is None and ri is not None:
             return (lo, ri)
+        if ro is not None and ri is None and li is not None:
+            return (ro, li)
         return None
 
     # ================= relations =================
@@ -1329,6 +1368,22 @@ class Binder:
             return self.bind_expr(both, scope)
         if isinstance(e, ast.InList):
             operand = self.bind_expr(e.operand, scope)
+            if operand.dtype.is_string:
+                # string IN-list → OR of equalities: each equality gets
+                # the dictionary-compare preparation (exec/expr.py keys
+                # prepared string compares by the BBinary node), which a
+                # BInList node would bypass. Kleene OR/NOT match IN's
+                # NULL semantics exactly.
+                expr: ast.Expr = None
+                for item in e.items:
+                    eq = ast.BinaryOp(ast.BinOp.EQ, e.operand, item)
+                    expr = eq if expr is None else ast.BinaryOp(
+                        ast.BinOp.OR, expr, eq)
+                if expr is None:
+                    return BLiteral(SqlType.BOOL, False, e.negated)
+                if e.negated:
+                    expr = ast.UnaryOp(ast.UnOp.NOT, expr)
+                return self.bind_expr(expr, scope)
             items = tuple(self.bind_expr(i, scope) for i in e.items)
             nullable = operand.nullable or any(i.nullable for i in items)
             return BInList(SqlType.BOOL, nullable, operand, items, e.negated)

@@ -33,6 +33,19 @@ def optimize(plan: L.LogicalPlan,
     plan = _rewrite(plan, _push_filter_below_aggregate)
     plan = _rewrite(plan, _push_filter_into_join)
     plan = _rewrite(plan, _push_filter_into_join)  # reach newly-created sites
+    # comma-join conversion to FIXPOINT: one pushdown pass moves a
+    # conjunct a single join level, and comma-FROM trees are as deep as
+    # the relation count (TPC-H Q8: 8 relations) — alternate
+    # cross→inner with pushdown until the plan stops changing
+    prev = None
+    for _ in range(16):
+        plan = _rewrite(plan, _merge_filters)
+        plan = _rewrite(plan, _cross_to_inner)
+        plan = _rewrite(plan, _push_filter_into_join)
+        sig = plan.tree_str()
+        if sig == prev:
+            break
+        prev = sig
     plan = _rewrite(plan, _merge_filters)
     if table_rows:
         plan = _reorder_joins_tree(plan, table_rows)
@@ -246,6 +259,47 @@ def _push_filter_into_join(plan: L.LogicalPlan) -> L.LogicalPlan:
         pred = L.BBinary(SqlType.BOOL, pred.nullable or c.nullable,
                          BinOp.AND, pred, c)
     return L.Filter(join, pred)
+
+
+def _cross_to_inner(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Filter over a CROSS (or residual-free INNER) join: equality
+    conjuncts whose sides resolve wholly on opposite join inputs become
+    join keys. This is how comma-FROM syntax (`FROM a, b WHERE a.k =
+    b.k` — every TPC-H query) reaches the hash-join paths and the join
+    reorderer instead of materializing the cross product. WHERE is
+    null-rejecting and the equi-join's NULL keys never match, so the
+    rewrite is exact. Non-equality conjuncts stay in the Filter above."""
+    if not (isinstance(plan, L.Filter) and isinstance(plan.input, L.Join)):
+        return plan
+    join = plan.input
+    if join.residual is not None or join.kind not in (JoinKind.CROSS,
+                                                      JoinKind.INNER):
+        return plan
+    nl = len(join.left.schema)
+    keys_l, keys_r, keep = [], [], []
+    for conj in _split_bool_and(plan.predicate):
+        if isinstance(conj, L.BBinary) and conj.op is BinOp.EQ:
+            rl = L.referenced_columns(conj.left)
+            rr = L.referenced_columns(conj.right)
+            if rl and rr:
+                if max(rl) < nl and min(rr) >= nl:
+                    keys_l.append(conj.left)
+                    keys_r.append(L.shift_columns(conj.right, -nl))
+                    continue
+                if max(rr) < nl and min(rl) >= nl:
+                    keys_l.append(conj.right)
+                    keys_r.append(L.shift_columns(conj.left, -nl))
+                    continue
+        keep.append(conj)
+    if not keys_l:
+        return plan
+    join.kind = JoinKind.INNER
+    join.left_keys = tuple(join.left_keys) + tuple(keys_l)
+    join.right_keys = tuple(join.right_keys) + tuple(keys_r)
+    if not keep:
+        return join
+    plan.predicate = _and_all(keep)
+    return plan
 
 
 def _split_bool_and(e: L.BExpr) -> list:
@@ -568,16 +622,28 @@ def _prune_columns(node: L.LogicalPlan, needed: set):
         from ..sql.ast import JoinKind
         if node.kind in (JoinKind.SEMI, JoinKind.ANTI):
             # output schema = left side only; right side contributes keys
+            # (and any residual references over the combined schema)
+            nl0 = len(node.left.schema)
             left_needed = set(needed)
             for e in node.left_keys:
                 left_needed |= L.referenced_columns(e)
             right_needed = set()
             for e in node.right_keys:
                 right_needed |= L.referenced_columns(e)
+            if node.residual is not None:
+                for i in L.referenced_columns(node.residual):
+                    (left_needed if i < nl0 else right_needed).add(
+                        i if i < nl0 else i - nl0)
             node.left, lmap = _prune_columns(node.left, left_needed)
             node.right, rmap = _prune_columns(node.right, right_needed)
             node.left_keys = tuple(_remap_expr(e, lmap) for e in node.left_keys)
             node.right_keys = tuple(_remap_expr(e, rmap) for e in node.right_keys)
+            if node.residual is not None:
+                new_nl = len(node.left.schema)
+                jmap = dict(lmap)
+                for old, new in rmap.items():
+                    jmap[old + nl0] = new + new_nl
+                node.residual = _remap_expr(node.residual, jmap)
             node.schema = tuple(
                 node.schema[i] for i in sorted(lmap, key=lambda o: lmap[o]))
             return node, dict(lmap)
