@@ -146,12 +146,34 @@ def _kernel(mask_ref, *rest, br: int, nplanes: int):
         for pi in range(nplanes):
             merged = jnp.where(head, pend_ref[pi], planes[pi])
             stage_ref[pi] = merged
-            pend_ref[pi] = stage_ref.at[pi][pl.ds(nr_c, 1), :]
+            # next pending row: normally the staged partial row nr. A
+            # COMPLETELY selected block with pmod > 0 overflows the
+            # block (new_total > br*128): the cyclic rotation wrapped
+            # its tail elements into linear positions [0, pmod_new) —
+            # inside the head region the pend merge just overwrote in
+            # `merged`. Those wrapped elements ARE the next pending
+            # row; take them from the PRE-merge rotated plane (row 0),
+            # not from the merged stage, or they are lost and every
+            # later element shifts (wrong results on ~100%-selected
+            # blocks — clustered tables hit this constantly).
+            nrm = stage_ref.at[pi][pl.ds(nr_c, 1), :]
+            pend_ref[pi] = jnp.where(nr >= br, planes[pi][0:1, :], nrm)
         for pi in range(nplanes):
             dma = pltpu.make_async_copy(
                 stage_ref.at[pi], out_refs[pi].at[pl.ds(off, br)], sem)
             dma.start()
             dma.wait()
+        # the LAST block's wrap case: its final partial row lives in
+        # pend (row off+br), beyond this block's DMA — flush it now or
+        # the stream's tail elements are lost
+        @pl.when(last & (nr >= br) & (new_total - nr * _LANE > 0))
+        def _flush_wrap():
+            for pi in range(nplanes):
+                dma2 = pltpu.make_async_copy(
+                    pend_ref.at[pi],
+                    out_refs[pi].at[pl.ds(off + br, 1)], sem)
+                dma2.start()
+                dma2.wait()
 
     carry_ref[0] = off + nr
     carry_ref[1] = new_total - nr * _LANE

@@ -2627,9 +2627,17 @@ class DistFragment:
                 return a
 
             ck = jnp.where(iota_c < ccnt, _cut(c_arrs[0], span), span)
-            srt = jax.lax.sort([ck] + [_cut(a, 0) for a in c_arrs[1:]],
-                               num_keys=1, is_stable=False)
-            ssk, spay = srt[0], list(srt[1:])
+            if lt.ordered_col is not None and lt.ordered_col == lk.index:
+                # clustered table: the stable cold compaction preserved
+                # the stored key order, so the cold side is ALREADY
+                # sorted — skip the lax.sort (the hybrid's dominant
+                # cost; dead tail keys are already `span` via ck)
+                ssk, spay = ck, [_cut(a, 0) for a in c_arrs[1:]]
+            else:
+                srt = jax.lax.sort(
+                    [ck] + [_cut(a, 0) for a in c_arrs[1:]],
+                    num_keys=1, is_stable=False)
+                ssk, spay = srt[0], list(srt[1:])
         else:
             srt = jax.lax.sort(operands, num_keys=1, is_stable=False)
             ssk, spay = srt[0], list(srt[1:])

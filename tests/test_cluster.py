@@ -201,3 +201,34 @@ def test_cluster_pair64_int64(engine):
     # physical order is sorted by key now
     ks = out.column(0).to_pylist()
     assert ks == sorted(ks)
+
+
+def test_clustered_skew_hybrid(engine, low_gates):
+    """Skew (hot/cold hybrid) state + clustered probe: the cold side is
+    already key-sorted after the stable compaction, so the hybrid skips
+    its lax.sort — results must stay exact (zipf-shaped keys)."""
+    rng = np.random.default_rng(8)
+    n, nd = 20_000, 1024
+    u = np.maximum(rng.random(n), 1e-7)
+    k = (np.minimum(u ** -2.0, nd) - 1).astype(np.int64)
+    probe = pa.table({
+        "k": pa.array(k),
+        "v": pa.array(rng.integers(0, 100, n), type=pa.int32()),
+    })
+    build = pa.table({
+        "k": pa.array(np.arange(nd)),
+        "w": pa.array(rng.integers(0, 7, nd), type=pa.int32()),
+    })
+    engine.register_table("p", probe)
+    engine.register_table("b", build)
+    engine.cluster_table("p", "k")
+    sql = ("SELECT w, count(*) AS c, sum(v) AS s FROM p JOIN b "
+           "ON p.k = b.k GROUP BY w ORDER BY w")
+    engine.execute(sql)                      # build the fragment
+    frag = engine._last_frag
+    frag.dsort_state = "skew"                # force the hybrid variant
+    out = engine.execute(sql)
+    _, _, byw = _oracle_sum(probe, build)
+    got = list(zip(out.column(0).to_pylist(), out.column(1).to_pylist(),
+                   out.column(2).to_pylist()))
+    assert got == [(ww, c, s) for ww, (c, s) in sorted(byw.items())]

@@ -95,3 +95,38 @@ def test_matches_cosort_reference():
     np.testing.assert_array_equal(np.asarray(ref[0][0])[:k],
                                   np.asarray(new[0][0])[:k])
     assert int(ref[2]) == int(new[2]) == k
+
+
+def test_full_block_wrap_after_partial(engine_np_oracle=None):
+    """A COMPLETELY selected block following a partial block overflows
+    the staged block cyclically (new_total > br*128): the wrapped tail
+    elements must become the next pending row, and the last block's
+    wrap must flush an extra row — r5 wrong-results fix (clustered
+    tables produce exactly these masks: long unselected prefix, then
+    ~100%-selected runs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from igloo_tpu.ops import masks
+
+    rng = np.random.default_rng(3)
+    n = 1 << 18
+    cases = [
+        np.concatenate([np.zeros(150_000, bool),
+                        np.ones(n - 150_000, bool)]),
+        np.concatenate([np.zeros(32768 + 17, bool),
+                        np.ones(n - 32768 - 17, bool)]),
+        np.concatenate([rng.random(65536) < 0.3,
+                        np.ones(n - 65536, bool)]),
+        np.ones(n, bool),
+        np.concatenate([rng.random(4096) < 0.7,
+                        np.ones(n - 8192, bool),
+                        np.zeros(4096, bool)]),
+    ]
+    for mask in cases:
+        a = rng.integers(0, 1 << 30, n).astype(np.int32)
+        arrs, _, cnt = masks.compact(
+            jnp.asarray(mask), [jnp.asarray(a)], [None])
+        cnt = int(cnt)
+        assert cnt == int(mask.sum())
+        assert np.array_equal(np.asarray(arrs[0])[:cnt], a[mask])
