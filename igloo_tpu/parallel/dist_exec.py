@@ -155,6 +155,9 @@ class STable:
     # ops (Filter, Projection); the sorted-probe join then skips its
     # probe-side lax.sort
     ordered_col: Optional[int] = None
+    # power-of-2 stride of the clustered key's values (cluster_by's
+    # _detect_stride): dense probes compress their slot space by it
+    ordered_stride: int = 1
     # per-column (table, column) provenance while row order is still the
     # base-table order — drives auto-cluster hints
     src_cols: Optional[tuple] = None
@@ -272,8 +275,10 @@ class DistFragment:
                      self.dense_disabled, self.dsort_state,
                      # physical-layout state: a table clustered between
                      # queries must recompile into the pre-sorted probe
-                     tuple(sorted((n, pt.clustered_by)
-                                  for n, pt in self.ptables.items())))
+                     tuple(sorted(
+                         (n, pt.clustered_by,
+                          getattr(pt, "cluster_stride", 1))
+                         for n, pt in self.ptables.items())))
         entry = self._compiled.get(cache_key)
         if entry is None:
             self._preps.clear()
@@ -496,6 +501,7 @@ class DistFragment:
                     cols, names, alive, cap, prefix=True,
                     alive_count=count.astype(jnp.int32),
                     ordered_col=ocol,
+                    ordered_stride=getattr(pt, "cluster_stride", 1),
                     src_cols=tuple((node.table.lower(), f.name)
                                    for f in node.schema))
 
@@ -601,7 +607,9 @@ class DistFragment:
             # selection-mask filters never move rows: clustered order and
             # base-table provenance survive
             return STable(t.cols, t.names, t.alive & keep, t.cap,
-                          ordered_col=t.ordered_col, src_cols=t.src_cols)
+                          ordered_col=t.ordered_col,
+                          ordered_stride=t.ordered_stride,
+                          src_cols=t.src_cols)
         if isinstance(node, L.Projection):
             t = self._exec(node.input, env)
             prep = self._preps[id(node)]
@@ -634,7 +642,9 @@ class DistFragment:
             return STable(cols, [f.name for f in node.schema], t.alive,
                           t.cap, prefix=t.prefix,
                           alive_count=t.alive_count,
-                          ordered_col=ocol, src_cols=tuple(srcs))
+                          ordered_col=ocol,
+                          ordered_stride=t.ordered_stride,
+                          src_cols=tuple(srcs))
         if isinstance(node, L.Aggregate):
             return self._exec_aggregate(node, env)
         if isinstance(node, L.Distinct):
@@ -2532,6 +2542,36 @@ class DistFragment:
         from ..ops.pallas.bitmap_build import WB, sorted_table_build
         kind = node.kind
         n = lt.cap
+        lk = node.left_keys[0] if len(node.left_keys) == 1 else None
+        if not (isinstance(lk, L.BColumn) and lk.dtype.is_integer):
+            return None
+
+        # ---- stride-compressed slot space: a clustered probe key with
+        # every value ≡ lo (mod 2^s) probes slot (key−lo)>>s — the
+        # bitmap window then covers 2^s× more key range per row (the
+        # probe walk is the dense join's dominant cost). Off-stride
+        # build keys can never match an on-stride probe: they drop from
+        # the table (okr) and off-stride probe keys mask out. ----
+        stride = 1
+        adj = 0
+        st_p = (lt.cols[lk.index].stats
+                if lk.index < len(lt.cols) else None)
+        if (lt.ordered_col is not None and lt.ordered_col == lk.index
+                and lt.ordered_stride > 1 and st_p is not None):
+            stride = int(lt.ordered_stride)
+            sh = stride.bit_length() - 1
+            # residue anchor: every probe key ≡ lo_probe (mod stride) by
+            # detection; the build's lo may sit on a different residue
+            # (its min need not be a probe-matchable key), so offsets
+            # shift by adj = (lo_probe − lo) mod stride before scaling
+            adj = (int(st_p[0]) - lo) % stride
+            in_range = in_range & ((loff & (stride - 1)) == adj)
+            loff = (loff - adj) >> sh
+            okr = okr & ((roff & (stride - 1)) == adj)
+            roff = (roff - adj) >> sh
+            nj_r = jnp.sum(okr.astype(jnp.int32))
+            span = max(-(-(span - adj) // stride), 1)
+
         # window-locality gates: a 64K-probe block spans ~64K*span/n
         # slots and must typically fit a 2-block window (256K slots at
         # 1 bit/slot, 32K at 8); misses retry on the gather path
@@ -2539,9 +2579,6 @@ class DistFragment:
         max_span = 3 * n if bps == 1 else (3 * n) // 8
         if n < self.DSORT_MIN_ROWS or span > max_span \
                 or span > (1 << 27):
-            return None
-        lk = node.left_keys[0] if len(node.left_keys) == 1 else None
-        if not (isinstance(lk, L.BColumn) and lk.dtype.is_integer):
             return None
 
         # ---- clustered probe: the table is already physically sorted
@@ -2553,7 +2590,7 @@ class DistFragment:
                 and lt.ordered_col == lk.index):
             return self._presorted_probe(
                 node, lt, rt, loff, in_range, packed, lo, span, key_idx,
-                skip_cols, roff, okr, nj_r)
+                skip_cols, roff, okr, nj_r, stride, adj)
         if (lt.src_cols is not None and lk.index < len(lt.src_cols)
                 and lt.src_cols[lk.index] is not None):
             self.cluster_hints.add(lt.src_cols[lk.index])
@@ -2650,7 +2687,8 @@ class DistFragment:
                     for p in spay]
 
         bm, rows, wr, spw, spr = self._dsort_build(
-            rt, roff, okr, nj_r, packed, span, bps, interpret)
+            rt, roff, okr, nj_r, packed, span, bps, interpret,
+            n_probe=None if skew else n)
 
         firsts = ssk[::bs]
         w0 = jnp.clip(firsts // spr // wr, 0,
@@ -2708,7 +2746,7 @@ class DistFragment:
             alive_hot = in_range & is_hot_row & hot_hit
 
         # ---- emit (sorted order) ----
-        key64 = ssk.astype(jnp.int64) + lo
+        key64 = ssk.astype(jnp.int64) * stride + adj + lo
         out_cols = []
         pi = 0
         for i, k, w in plan_l:
@@ -2781,7 +2819,7 @@ class DistFragment:
         return STable(merged, names, alive, n + cap2)
 
     def _dsort_build(self, rt, roff, okr, nj_r, packed, span, bps,
-                     interpret):
+                     interpret, n_probe=None):
         """Build the packed slot table (presence bitmap at bps=1, value
         bytes at bps=8): MXU windowed placement when the build keys
         arrive sorted (detected by a cummax pass), else a lax.cond
@@ -2789,10 +2827,24 @@ class DistFragment:
         duplicate-key flag. Returns (bm, rows, wr, spw, spr)."""
         from ..ops.pallas.bitmap_probe import (WR, pack_bitmap, pack_bytes)
         from ..ops.pallas.bitmap_build import WB, sorted_table_build
-        # byte tables use 4x-wider windows: 512 slots/row means a
-        # sorted block's key range is 8x denser in rows, and zipf cold
-        # tails need the headroom (window = 2*wr rows)
-        wr = WR if bps == 1 else 128
+        # Window width: the probe walk costs 2*wr broadcast steps per
+        # element, so wr is the probe kernel's whole cost knob. With a
+        # known probe count and ~uniform density a 64K-probe block
+        # spans ~bs*span/n_probe slots — size the 2-block window to
+        # >=2x that (floors 8/32 rows for bit/byte tables). Density
+        # gaps still fire OVF_DSORT (the ladder retries with the skew
+        # hybrid, whose n_probe=None keeps the full-width headroom its
+        # self-similar zipf cold tails need).
+        if n_probe:
+            spr_b = 128 * (32 // bps)
+            exp_rows = max(1, ((512 * 128) * span) // max(n_probe, 1)
+                           // spr_b)
+            wr = 8 if bps == 1 else 32
+            cap_wr = WR if bps == 1 else 128
+            while wr < exp_rows and wr < cap_wr:
+                wr *= 2
+        else:
+            wr = WR if bps == 1 else 128
         spw = 32 // bps
         spr = 128 * spw
         align = max(2 * WB, 2 * wr)
@@ -2857,7 +2909,7 @@ class DistFragment:
 
     def _presorted_probe(self, node, lt: STable, rt: STable, loff,
                          in_range, packed, lo, span, key_idx,
-                         skip_cols, roff, okr, nj_r):
+                         skip_cols, roff, okr, nj_r, stride=1, adj=0):
         """Clustered-table probe: the left table's rows are physically
         sorted by the join key (PartitionedTable.cluster_by invariants:
         stored key data monotone over the whole cap array, nulls/dead
@@ -2873,7 +2925,7 @@ class DistFragment:
         interpret = jax.default_backend() != "tpu"
         n = lt.cap
         bm, rows, wr, spw, spr = self._dsort_build(
-            rt, roff, okr, nj_r, packed, span, bps, interpret)
+            rt, roff, okr, nj_r, packed, span, bps, interpret, n_probe=n)
 
         ssk = jnp.clip(loff, 0, span - 1).astype(jnp.int32)
         bs = 512 * 128
@@ -2896,9 +2948,11 @@ class DistFragment:
         for i, c in enumerate(rt.cols):
             dt = c.arr.dtype
             if i == key_idx:
-                # the joined right key equals the probe key (loff + lo)
-                out_cols.append(SCol((loff + lo).astype(dt), None,
-                                     c.dtype, c.dictionary, c.stats))
+                # the joined right key equals the probe key (the caller
+                # may have stride-compressed loff — undo for emission)
+                out_cols.append(SCol(
+                    (loff * stride + adj + lo).astype(dt), None,
+                    c.dtype, c.dictionary, c.stats))
             elif packed is not None and i == packed[0]:
                 val = (out_i8.astype(jnp.int32) - 1 + packed[1])
                 out_cols.append(SCol(val.astype(dt), None, c.dtype,

@@ -232,3 +232,42 @@ def test_clustered_skew_hybrid(engine, low_gates):
     got = list(zip(out.column(0).to_pylist(), out.column(1).to_pylist(),
                    out.column(2).to_pylist()))
     assert got == [(ww, c, s) for ww, (c, s) in sorted(byw.items())]
+
+
+def test_cluster_stride_detection_and_probe(engine, low_gates):
+    """Sparse strided surrogate keys (k = base·8): cluster detects the
+    power-of-2 stride and the dense probes run in the compressed slot
+    space — results must match the oracle exactly, including off-stride
+    probe keys (which can never match)."""
+    rng = np.random.default_rng(9)
+    n, nd = 6000, 512
+    k = (rng.integers(0, nd, n) * 8).astype(np.int64)
+    probe = pa.table({
+        "k": pa.array(k),
+        "v": pa.array(rng.integers(0, 100, n), type=pa.int32()),
+    })
+    # off-stride BUILD keys can never match an on-stride probe — the
+    # scaled build verification must drop them without overflowing
+    bk = np.arange(nd) * 8
+    bk[::7] += 3
+    build = pa.table({
+        "k": pa.array(bk),
+        "w": pa.array(rng.integers(0, 7, nd), type=pa.int32()),
+    })
+    engine.register_table("p", probe)
+    engine.register_table("b", build)
+    engine.cluster_table("p", "k")
+    pt = engine._ptables["p"]
+    assert pt.cluster_stride >= 8       # 8 (or more if data allows)
+    out = engine.execute(
+        "SELECT sum(p.v) AS s, count(*) AS c FROM p JOIN b ON p.k = b.k")
+    s, c, _ = _oracle_sum(probe, build)
+    assert out.column(0).to_pylist() == [s]
+    assert out.column(1).to_pylist() == [c]
+    out2 = engine.execute(
+        "SELECT w, count(*) AS c FROM p JOIN b ON p.k = b.k "
+        "GROUP BY w ORDER BY w")
+    _, _, byw = _oracle_sum(probe, build)
+    got = list(zip(out2.column(0).to_pylist(), out2.column(1).to_pylist()))
+    assert got == [(ww, cc) for ww, (cc, _) in sorted(byw.items())]
+    assert low_gates["presorted"] >= 1
