@@ -349,9 +349,12 @@ class QueryEngine:
             if subtree_distributable(plan, single) \
                     and self._worth_fragmenting(plan):
                 out = self._run_fragment(plan)
-                if not self._needs_host_fallback(plan, out):
-                    return out
-                return self.executor.execute(copy.deepcopy(plan))
+                if out is not None:
+                    if not self._needs_host_fallback(plan, out):
+                        return out
+                    return self.executor.execute(copy.deepcopy(plan))
+                # whole-plan fragment rejected by the compile service:
+                # fall through and fragment the plan's subtrees instead
             work = copy.deepcopy(plan)
             self._substitute_fragments(work, plan)
             return self.executor.execute(work)
@@ -474,7 +477,26 @@ class QueryEngine:
                         "IGLOO_BROADCAST_ROWS", 1 << 20)))
                 self._frag_cache[id(plan)] = frag
             self._last_frag = frag      # scaling harness reads .last_cost
-        out = frag.run(plan).to_device_table()
+        if getattr(frag, "compile_broken", False):
+            return None
+        try:
+            out = frag.run(plan).to_device_table()
+        except Exception as e:                        # noqa: BLE001
+            # the remote TPU compile service can reject a large fused
+            # program (exit-1 with no diagnostic). Degrade instead of
+            # failing the query: returning None makes the caller split
+            # into SMALLER child fragments, bottoming out at the
+            # unfused per-operator executor — slower, still exact.
+            msg = str(e)
+            if ("remote_compile" in msg or "tpu_compile_helper" in msg
+                    or "Mosaic" in msg):
+                import sys as _sys
+                print(f"[igloo] fragment compile rejected by the TPU "
+                      f"compile service; splitting: {msg[:120]}",
+                      file=_sys.stderr)
+                frag.compile_broken = True
+                return None
+            raise
         if frag.cluster_hints:
             self._apply_cluster_hints(frag.cluster_hints)
         return out

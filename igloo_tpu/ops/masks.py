@@ -58,13 +58,20 @@ def compact_cosort(mask: jax.Array, arrays: list, valids: list):
 def compact(mask: jax.Array, arrays: list, valids: list):
     """Stream compaction: Pallas log-shift kernel when the capacity is
     tile-aligned (ONE read + ONE write pass, ~8× faster than the sort
-    network at 67M rows), else the co-sort fallback."""
+    network at 67M rows), else the co-sort fallback.
+
+    FLOAT64 columns always take the co-sort path on TPU: the kernel
+    moves data as int32 planes and the remote TPU compiler rejects
+    EVERY f64 bitcast (f64→i32 pair, even plain f64→i64 — measured
+    r5); lax.sort moves f64 payload operands fine."""
     import jax as _jax
 
     from .pallas import compact as pc
-    if pc.compactable(mask.shape[0]):
-        interpret = _jax.default_backend() != "tpu"
-        return pc.compact_rows(mask, arrays, valids, interpret=interpret)
+    on_tpu = _jax.default_backend() == "tpu"
+    has_f64 = any(a is not None and a.dtype == jnp.float64
+                  for a in list(arrays))
+    if pc.compactable(mask.shape[0]) and not (on_tpu and has_f64):
+        return pc.compact_rows(mask, arrays, valids, interpret=not on_tpu)
     return compact_cosort(mask, arrays, valids)
 
 
